@@ -1,0 +1,554 @@
+"""Vectorized numpy geometry kernels (no shapely/turf in sandbox).
+
+These implement, from scratch, the geometry semantics the reference
+delegates to @turf/* (SURVEY.md §2.9):
+
+* G1 coordinate rounding        (reference src/lib/geojson-utils.ts:59-107)
+* G2 Douglas–Peucker simplify   (reference src/lib/geojson-utils.ts:119-147)
+* G3 buffer (point n-gon / line capsules)
+                                (reference formats/stops-buffer.ts:9,
+                                 formats/lines-buffer.ts:12, default 400 m
+                                 src/lib/gtfs-to-geojson.ts:34)
+* G4 bboxPolygon                (reference formats/envelope.ts:14)
+* G5 polygon union / dissolve   (reference src/lib/geojson-utils.ts:159-170)
+* A2 convex hull                (reference formats/convex.ts:9-32)
+* point-in-polygon ray cast, point↔segment distance (engine-new, J6–J9)
+
+All functions are array-in/array-out so pandas-UDF callers stay
+vectorized (BASELINE.json input_hint: "no per-row Python").
+
+Coordinate convention: GeoJSON order ``(lon, lat)`` in coordinate
+arrays; standalone scalar args are named explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+EARTH_M_PER_DEG_LAT = 111_320.0  # spherical approximation, matches turf's scale
+
+
+class UnionError(RuntimeError):
+    """Polygon union failed; callers fall back to un-unioned parts —
+    the reference does the same on turf union failure
+    (src/lib/geojson-utils.ts:135-146 and the `?? features` fallback)."""
+
+
+# ---------------------------------------------------------------------------
+# Basic predicates / measures
+# ---------------------------------------------------------------------------
+
+
+def signed_area(ring: np.ndarray) -> float:
+    """Signed area of a ring (Nx2, open or closed). CCW > 0."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    return ring if signed_area(ring) >= 0 else ring[::-1].copy()
+
+
+def close_ring(ring: np.ndarray) -> np.ndarray:
+    ring = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[0]])
+    return ring
+
+
+def bbox(coords: np.ndarray) -> tuple[float, float, float, float]:
+    """(min_lon, min_lat, max_lon, max_lat) of an Nx2 array."""
+    c = np.asarray(coords, dtype=np.float64)
+    return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())
+
+
+def bbox_polygon(min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> np.ndarray:
+    """5-point closed rectangle ring, same corner order as turf bboxPolygon
+    (reference formats/envelope.ts:14; golden examples/envelope.geojson)."""
+    return np.asarray(
+        [
+            [min_lon, min_lat],
+            [max_lon, min_lat],
+            [max_lon, max_lat],
+            [min_lon, max_lat],
+            [min_lon, min_lat],
+        ],
+        dtype=np.float64,
+    )
+
+
+def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Vectorized great-circle distance in meters."""
+    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lat1, lon1, lat2, lon2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * 6_371_008.8 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def local_scale(lat_deg: float) -> tuple[float, float]:
+    """Meters per degree (lon, lat) at a latitude — planar local frame."""
+    return (
+        EARTH_M_PER_DEG_LAT * max(math.cos(math.radians(lat_deg)), 1e-9),
+        EARTH_M_PER_DEG_LAT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1 rounding / G2 simplify
+# ---------------------------------------------------------------------------
+
+
+def round_coords(coords: np.ndarray, precision: int | None) -> np.ndarray:
+    """Coordinate truncation to ``precision`` decimals; None = no-op
+    (reference skips when coordinatePrecision unset, geojson-utils.ts:120-122)."""
+    if precision is None:
+        return np.asarray(coords, dtype=np.float64)
+    return np.round(np.asarray(coords, dtype=np.float64), precision)
+
+
+def rdp_mask(points: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask for an Nx2 polyline (endpoints kept).
+
+    Matches turf simplify's contract used by the reference with
+    ``tolerance = 1 / 10**coordinatePrecision`` and highQuality=true
+    (geojson-utils.ts:124-129): perpendicular-distance RDP in degrees.
+    Iterative (explicit stack) — safe for long polylines.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        seg_len2 = float(seg @ seg)
+        mid = pts[i + 1 : j]
+        if seg_len2 == 0.0:
+            d = np.hypot(mid[:, 0] - pts[i, 0], mid[:, 1] - pts[i, 1])
+        else:
+            t = np.clip(((mid - pts[i]) @ seg) / seg_len2, 0.0, 1.0)
+            proj = pts[i] + t[:, None] * seg
+            d = np.hypot(mid[:, 0] - proj[:, 0], mid[:, 1] - proj[:, 1])
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def simplify_line(points: np.ndarray, tol: float) -> np.ndarray:
+    return np.asarray(points, dtype=np.float64)[rdp_mask(points, tol)]
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Simplify a closed ring, preserving validity (≥4 points closed)."""
+    r = close_ring(ring)
+    out = simplify_line(r, tol)
+    if len(out) < 4:
+        return r
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A2 convex hull (Andrew's monotone chain) — partial+final mergeable
+# ---------------------------------------------------------------------------
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray | None:
+    """CCW closed hull ring of an Nx2 set; None if <3 distinct points
+    (reference warns + emits nothing, formats/convex.ts:13-22).
+
+    Associative: hull(hull(A) ∪ hull(B)) == hull(A ∪ B), which is what
+    makes the two-level (per-partition partial → final merge)
+    aggregation in operators/aggregates.py correct.
+    """
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) < 3:
+        return None
+    # lexicographic sort by (x, y)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(points_iter):
+        out: list[np.ndarray] = []
+        for p in points_iter:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+    if len(hull) < 3:
+        return None  # collinear
+    return close_ring(hull)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (even-odd ray cast), vectorized over points
+# ---------------------------------------------------------------------------
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd crossing test of many points vs one ring. Boundary
+    points count as inside (closed semantics — deterministic for the
+    on-edge fixtures in FIXTURES.md §4)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    r = close_ring(ring)
+    x0, y0 = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    inside = np.zeros(px.shape, dtype=bool)
+    on_edge = np.zeros(px.shape, dtype=bool)
+    for i in range(len(x0)):
+        ax, ay, bx, by = x0[i], y0[i], x1[i], y1[i]
+        # boundary check: collinear + within segment bbox
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        on_seg = (
+            (np.abs(cross) <= 1e-12 * max(1.0, abs(bx - ax) + abs(by - ay)))
+            & (px >= min(ax, bx) - 1e-15)
+            & (px <= max(ax, bx) + 1e-15)
+            & (py >= min(ay, by) - 1e-15)
+            & (py <= max(ay, by) + 1e-15)
+        )
+        on_edge |= on_seg
+        crosses = ((ay > py) != (by > py)) & (
+            px < (bx - ax) * (py - ay) / (by - ay + np.where(by == ay, 1e-300, 0.0)) + ax
+        )
+        inside ^= crosses
+    return inside | on_edge
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd over outer+hole rings (GeoJSON Polygon)."""
+    px = np.asarray(px, dtype=np.float64)
+    result = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        result ^= points_in_ring(px, py, ring)
+    # on-boundary already ORed in per-ring; xor may cancel exact-edge
+    # hole boundaries — acceptable (boundary of a hole is in the polygon)
+    return result
+
+
+def points_in_multipolygon(px, py, polygons: list[list[np.ndarray]]) -> np.ndarray:
+    """Union semantics: inside any part. This is the exact test used
+    against dissolved buffers regardless of whether the outline union
+    succeeded (row-set containment contract, SURVEY.md §5)."""
+    px = np.asarray(px, dtype=np.float64)
+    out = np.zeros(px.shape, dtype=bool)
+    for rings in polygons:
+        out |= points_in_polygon(px, py, rings)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Point ↔ segment distance (kNN snapping, J8)
+# ---------------------------------------------------------------------------
+
+
+def point_segments_dist_m(
+    lat: float, lon: float, seg_a: np.ndarray, seg_b: np.ndarray
+) -> np.ndarray:
+    """Distance in meters from one point to many segments (lon,lat pairs),
+    planar local-frame approximation (exact enough for snapping; the
+    same formula is the brute-force oracle in tests)."""
+    sx, sy = local_scale(lat)
+    p = np.asarray([lon * sx, lat * sy])
+    a = np.column_stack([seg_a[:, 0] * sx, seg_a[:, 1] * sy])
+    b = np.column_stack([seg_b[:, 0] * sx, seg_b[:, 1] * sy])
+    ab = b - a
+    ab2 = np.einsum("ij,ij->i", ab, ab)
+    t = np.clip(np.einsum("ij,ij->i", p - a, ab) / np.where(ab2 == 0, 1.0, ab2), 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    return np.hypot(p[0] - proj[:, 0], p[1] - proj[:, 1])
+
+
+# ---------------------------------------------------------------------------
+# G3 buffers
+# ---------------------------------------------------------------------------
+
+
+def buffer_point(lat: float, lon: float, meters: float, steps: int = 32) -> np.ndarray:
+    """Closed n-gon ring approximating a geodesic circle (turf buffer
+    analog; vertex count is our own pinned spec — correctness judged on
+    join rows, SURVEY.md G3)."""
+    sx, sy = local_scale(lat)
+    ang = np.linspace(0.0, 2.0 * np.pi, steps, endpoint=False)
+    ring = np.column_stack(
+        [lon + meters * np.cos(ang) / sx, lat + meters * np.sin(ang) / sy]
+    )
+    return close_ring(ring)
+
+
+def buffer_points_bulk(lats: np.ndarray, lons: np.ndarray, meters: float, steps: int = 32) -> np.ndarray:
+    """Vectorized: (N,) lats/lons → (N, steps+1, 2) closed rings."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    sx = EARTH_M_PER_DEG_LAT * np.maximum(np.cos(np.radians(lats)), 1e-9)
+    ang = np.linspace(0.0, 2.0 * np.pi, steps, endpoint=False)
+    dx = meters * np.cos(ang)[None, :] / sx[:, None]
+    dy = meters * np.sin(ang)[None, :] / EARTH_M_PER_DEG_LAT
+    rings = np.stack([lons[:, None] + dx, lats[:, None] + dy], axis=-1)
+    return np.concatenate([rings, rings[:, :1, :]], axis=1)
+
+
+def buffer_segment(a: np.ndarray, b: np.ndarray, meters: float, cap_steps: int = 8) -> np.ndarray:
+    """Capsule (stadium) ring around one segment, closed CCW."""
+    mid_lat = 0.5 * (a[1] + b[1])
+    sx, sy = local_scale(mid_lat)
+    ap = np.asarray([a[0] * sx, a[1] * sy])
+    bp = np.asarray([b[0] * sx, b[1] * sy])
+    d = bp - ap
+    L = np.hypot(*d)
+    if L < 1e-9:
+        return buffer_point(a[1], a[0], meters, steps=cap_steps * 4)
+    u = d / L
+    normal = np.asarray([-u[1], u[0]])
+    theta0 = math.atan2(normal[1], normal[0])
+    # sweep clockwise so each cap bulges outward (through +u at b, -u at a)
+    cap1 = theta0 - np.linspace(0.0, np.pi, cap_steps + 1)  # around b
+    cap2 = theta0 - np.pi - np.linspace(0.0, np.pi, cap_steps + 1)  # around a
+    pts = []
+    pts.append(ap + normal * meters)
+    pts.append(bp + normal * meters)
+    for t in cap1[1:]:
+        pts.append(bp + meters * np.asarray([math.cos(t), math.sin(t)]))
+    pts.append(ap - normal * meters)
+    for t in cap2[1:]:
+        pts.append(ap + meters * np.asarray([math.cos(t), math.sin(t)]))
+    ring = np.asarray(pts)
+    ring = np.column_stack([ring[:, 0] / sx, ring[:, 1] / sy])
+    return close_ring(ensure_ccw(ring))
+
+
+def buffer_line(coords: np.ndarray, meters: float, cap_steps: int = 8) -> list[np.ndarray]:
+    """LineString → list of capsule rings (one per segment). The union
+    step (dissolve) merges them; when union is skipped the parts keep
+    exact union *containment* semantics via points_in_multipolygon."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) == 1:
+        return [buffer_point(c[0, 1], c[0, 0], meters)]
+    # drop zero-length segments
+    keep = np.ones(len(c), dtype=bool)
+    keep[1:] = np.any(np.abs(np.diff(c, axis=0)) > 1e-15, axis=1)
+    c = c[keep]
+    if len(c) == 1:
+        return [buffer_point(c[0, 1], c[0, 0], meters)]
+    return [buffer_segment(c[i], c[i + 1], meters) for i in range(len(c) - 1)]
+
+
+# ---------------------------------------------------------------------------
+# G5 polygon union (even-odd boundary trace), with explicit fallback
+# ---------------------------------------------------------------------------
+
+
+def _seg_intersections(a0, a1, b0, b1):
+    """Parametric intersection of segment a with b; returns list of t
+    values on a in (0,1) where b crosses or touches."""
+    r = a1 - a0
+    s = b1 - b0
+    denom = r[0] * s[1] - r[1] * s[0]
+    ts: list[float] = []
+    if abs(denom) > 1e-18:
+        qp = b0 - a0
+        t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+        u = (qp[0] * r[1] - qp[1] * r[0]) / denom
+        if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+            ts.append(min(max(t, 0.0), 1.0))
+    else:
+        # collinear overlap: project b endpoints onto a
+        rr = float(r @ r)
+        if rr > 0:
+            cross = r[0] * (b0[1] - a0[1]) - r[1] * (b0[0] - a0[0])
+            if abs(cross) < 1e-15:
+                for q in (b0, b1):
+                    t = float((q - a0) @ r) / rr
+                    if 1e-12 < t < 1 - 1e-12:
+                        ts.append(t)
+    return ts
+
+
+def _snap_key(p: np.ndarray, snap: float = 1e-9) -> tuple[int, int]:
+    return (int(round(p[0] / snap)), int(round(p[1] / snap)))
+
+
+def polygon_union(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Union of simple CCW rings → boundary rings (outers CCW, holes CW).
+
+    Algorithm: split every edge at pairwise intersections, keep
+    sub-edges whose midpoint is not strictly inside any *other* ring,
+    drop duplicated/antiparallel shared edges, chain by vertex. Raises
+    UnionError on degeneracy; callers fall back to un-unioned parts —
+    the same failure contract as the reference's try/catch around turf
+    union (src/lib/geojson-utils.ts:135-146).
+
+    O(E²) edge pairing — intended for per-cell groups after the cell
+    decomposition in operators/aggregates.py (dissolve A3), never for
+    a whole planet in one call.
+    """
+    polys = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings]
+    if len(polys) == 1:
+        return [polys[0]]
+    # bounding boxes for pruning
+    boxes = [bbox(p) for p in polys]
+    edges: list[tuple[int, np.ndarray, np.ndarray]] = []
+    for pi, poly in enumerate(polys):
+        for i in range(len(poly) - 1):
+            edges.append((pi, poly[i], poly[i + 1]))
+
+    sub_edges: list[tuple[int, np.ndarray, np.ndarray]] = []
+    for ei, (pi, a0, a1) in enumerate(edges):
+        ts = {0.0, 1.0}
+        for pj, b0, b1 in edges:
+            if pj == pi:
+                continue
+            for t in _seg_intersections(a0, a1, b0, b1):
+                ts.add(t)
+        tt = sorted(ts)
+        for k in range(len(tt) - 1):
+            p = a0 + tt[k] * (a1 - a0)
+            q = a0 + tt[k + 1] * (a1 - a0)
+            if _snap_key(p) != _snap_key(q):
+                sub_edges.append((pi, p, q))
+
+    # keep sub-edges on the union boundary
+    kept: list[tuple[np.ndarray, np.ndarray]] = []
+    for pi, p, q in sub_edges:
+        mid = 0.5 * (p + q)
+        strictly_inside = False
+        for pj, poly in enumerate(polys):
+            if pj == pi:
+                continue
+            bx = boxes[pj]
+            if not (bx[0] - 1e-12 <= mid[0] <= bx[2] + 1e-12 and bx[1] - 1e-12 <= mid[1] <= bx[3] + 1e-12):
+                continue
+            inside = bool(points_in_ring(np.asarray([mid[0]]), np.asarray([mid[1]]), poly)[0])
+            if inside:
+                # boundary-midpoint? treat "on other's edge" as not strictly inside
+                on_b = _on_boundary(mid, poly)
+                if not on_b:
+                    strictly_inside = True
+                    break
+        if not strictly_inside:
+            kept.append((p, q))
+
+    # drop antiparallel duplicate shared edges (tangential contacts)
+    seen: dict[tuple, int] = {}
+    drop = set()
+    for idx, (p, q) in enumerate(kept):
+        kp, kq = _snap_key(p), _snap_key(q)
+        if (kq, kp) in seen:
+            drop.add(idx)
+            drop.add(seen[(kq, kp)])
+        if (kp, kq) in seen:
+            drop.add(idx)  # exact duplicate, keep first
+        else:
+            seen[(kp, kq)] = idx
+    dedup = [kept[i] for i in range(len(kept)) if i not in drop]
+    if not dedup and kept:
+        raise UnionError("all edges dropped")
+
+    # chain
+    out_map: dict[tuple, list[int]] = {}
+    for idx, (p, q) in enumerate(dedup):
+        out_map.setdefault(_snap_key(p), []).append(idx)
+    used = [False] * len(dedup)
+    result: list[np.ndarray] = []
+    for start in range(len(dedup)):
+        if used[start]:
+            continue
+        chain = [dedup[start][0], dedup[start][1]]
+        used[start] = True
+        cur_dir = dedup[start][1] - dedup[start][0]
+        guard = 0
+        while _snap_key(chain[-1]) != _snap_key(chain[0]):
+            guard += 1
+            if guard > len(dedup) + 2:
+                raise UnionError("open chain")
+            cands = [i for i in out_map.get(_snap_key(chain[-1]), []) if not used[i]]
+            if not cands:
+                raise UnionError("dead end")
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                # choose most clockwise turn (hug the outside)
+                base = math.atan2(-cur_dir[1], -cur_dir[0])
+                best, best_ang = None, None
+                for i in cands:
+                    d = dedup[i][1] - dedup[i][0]
+                    ang = (math.atan2(d[1], d[0]) - base) % (2 * math.pi)
+                    if best_ang is None or ang > best_ang:
+                        best, best_ang = i, ang
+                nxt = best
+            used[nxt] = True
+            cur_dir = dedup[nxt][1] - dedup[nxt][0]
+            chain.append(dedup[nxt][1])
+        ring = np.asarray(chain)
+        if abs(signed_area(ring)) > 1e-18:
+            result.append(ring)
+    if not result:
+        raise UnionError("no rings produced")
+    return result
+
+
+def _on_boundary(p: np.ndarray, ring: np.ndarray, eps: float = 1e-12) -> bool:
+    r = ring
+    a = r[:-1]
+    b = r[1:]
+    ab = b - a
+    ap = p - a
+    cross = np.abs(ab[:, 0] * ap[:, 1] - ab[:, 1] * ap[:, 0])
+    ab2 = np.einsum("ij,ij->i", ab, ab)
+    t = np.einsum("ij,ij->i", ap, ab) / np.where(ab2 == 0, 1.0, ab2)
+    dist2 = np.einsum("ij,ij->i", ap - np.clip(t, 0, 1)[:, None] * ab, ap - np.clip(t, 0, 1)[:, None] * ab)
+    return bool(np.any(dist2 <= eps * eps * np.maximum(1.0, ab2)))
+
+
+def union_or_parts(rings: list[np.ndarray]) -> tuple[list[np.ndarray], bool]:
+    """(rings, unioned?) — single-feature short-circuit like the
+    reference (count==1 skips union, src/lib/geojson-utils.ts:160-162),
+    and fall back to the input parts when the trace fails."""
+    if len(rings) <= 1:
+        return rings, True
+    try:
+        return polygon_union(rings), True
+    except UnionError:
+        return [close_ring(ensure_ccw(np.asarray(r))) for r in rings], False
+
+
+def connected_components(rings: list[np.ndarray]) -> list[list[int]]:
+    """Group ring indices whose bboxes overlap transitively — dissolve
+    islands. Cheap pre-pass so union runs per overlapping cluster."""
+    n = len(rings)
+    boxes = [bbox(r) for r in rings]
+    parent_ = list(range(n))
+
+    def find(i):
+        while parent_[i] != i:
+            parent_[i] = parent_[parent_[i]]
+            i = parent_[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = boxes[i], boxes[j]
+            if a[0] <= b[2] and b[0] <= a[2] and a[1] <= b[3] and b[1] <= a[3]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent_[ri] = rj
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    return list(groups.values())
