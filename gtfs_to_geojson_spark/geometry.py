@@ -354,32 +354,6 @@ def buffer_line(coords: np.ndarray, meters: float, cap_steps: int = 8) -> list[n
 # ---------------------------------------------------------------------------
 
 
-def _seg_intersections(a0, a1, b0, b1):
-    """Parametric intersection of segment a with b; returns list of t
-    values on a in (0,1) where b crosses or touches."""
-    r = a1 - a0
-    s = b1 - b0
-    denom = r[0] * s[1] - r[1] * s[0]
-    ts: list[float] = []
-    if abs(denom) > 1e-18:
-        qp = b0 - a0
-        t = (qp[0] * s[1] - qp[1] * s[0]) / denom
-        u = (qp[0] * r[1] - qp[1] * r[0]) / denom
-        if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
-            ts.append(min(max(t, 0.0), 1.0))
-    else:
-        # collinear overlap: project b endpoints onto a
-        rr = float(r @ r)
-        if rr > 0:
-            cross = r[0] * (b0[1] - a0[1]) - r[1] * (b0[0] - a0[0])
-            if abs(cross) < 1e-15:
-                for q in (b0, b1):
-                    t = float((q - a0) @ r) / rr
-                    if 1e-12 < t < 1 - 1e-12:
-                        ts.append(t)
-    return ts
-
-
 def _snap_key(p: np.ndarray, snap: float = 1e-9) -> tuple[int, int]:
     return (int(round(p[0] / snap)), int(round(p[1] / snap)))
 
@@ -401,48 +375,105 @@ def polygon_union(rings: list[np.ndarray]) -> list[np.ndarray]:
     polys = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings]
     if len(polys) == 1:
         return [polys[0]]
-    # bounding boxes for pruning
-    boxes = [bbox(p) for p in polys]
-    edges: list[tuple[int, np.ndarray, np.ndarray]] = []
-    for pi, poly in enumerate(polys):
-        for i in range(len(poly) - 1):
-            edges.append((pi, poly[i], poly[i + 1]))
+    boxes = np.asarray([bbox(p) for p in polys])
 
-    sub_edges: list[tuple[int, np.ndarray, np.ndarray]] = []
-    for ei, (pi, a0, a1) in enumerate(edges):
-        ts = {0.0, 1.0}
-        for pj, b0, b1 in edges:
-            if pj == pi:
-                continue
-            for t in _seg_intersections(a0, a1, b0, b1):
-                ts.add(t)
-        tt = sorted(ts)
-        for k in range(len(tt) - 1):
-            p = a0 + tt[k] * (a1 - a0)
-            q = a0 + tt[k + 1] * (a1 - a0)
-            if _snap_key(p) != _snap_key(q):
-                sub_edges.append((pi, p, q))
+    # flatten all edges into arrays (vectorized path)
+    A = np.vstack([p[:-1] for p in polys])
+    B = np.vstack([p[1:] for p in polys])
+    pidx = np.concatenate(
+        [np.full(len(p) - 1, i, dtype=np.int64) for i, p in enumerate(polys)]
+    )
+    E = len(A)
+    if E > 60_000:
+        raise UnionError(f"too many edges for one union call ({E})")
+    eps = 1e-12
+    eminx = np.minimum(A[:, 0], B[:, 0]) - eps
+    emaxx = np.maximum(A[:, 0], B[:, 0]) + eps
+    eminy = np.minimum(A[:, 1], B[:, 1]) - eps
+    emaxy = np.maximum(A[:, 1], B[:, 1]) + eps
 
-    # keep sub-edges on the union boundary
-    kept: list[tuple[np.ndarray, np.ndarray]] = []
-    for pi, p, q in sub_edges:
-        mid = 0.5 * (p + q)
-        strictly_inside = False
-        for pj, poly in enumerate(polys):
-            if pj == pi:
-                continue
-            bx = boxes[pj]
-            if not (bx[0] - 1e-12 <= mid[0] <= bx[2] + 1e-12 and bx[1] - 1e-12 <= mid[1] <= bx[3] + 1e-12):
-                continue
-            inside = bool(points_in_ring(np.asarray([mid[0]]), np.asarray([mid[1]]), poly)[0])
-            if inside:
-                # boundary-midpoint? treat "on other's edge" as not strictly inside
-                on_b = _on_boundary(mid, poly)
-                if not on_b:
-                    strictly_inside = True
-                    break
-        if not strictly_inside:
-            kept.append((p, q))
+    # candidate crossing pairs via blocked bbox overlap (bounded memory)
+    t_lists: dict[int, list[float]] = {}
+    block = max(1, min(E, 2_000_000 // max(E, 1)))
+    for j0 in range(0, E, block):
+        j1 = min(j0 + block, E)
+        ov = (
+            (eminx[:, None] <= emaxx[None, j0:j1])
+            & (eminx[None, j0:j1] <= emaxx[:, None])
+            & (eminy[:, None] <= emaxy[None, j0:j1])
+            & (eminy[None, j0:j1] <= emaxy[:, None])
+            & (pidx[:, None] != pidx[None, j0:j1])
+        )
+        ii, jj = np.nonzero(ov)
+        jj = jj + j0
+        if len(ii) == 0:
+            continue
+        r = B[ii] - A[ii]
+        s = B[jj] - A[jj]
+        qp = A[jj] - A[ii]
+        denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+        cross_qp_s = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+        cross_qp_r = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+        nonpar = np.abs(denom) > 1e-18
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(nonpar, cross_qp_s / denom, np.nan)
+            u = np.where(nonpar, cross_qp_r / denom, np.nan)
+        valid = nonpar & (t >= -1e-12) & (t <= 1 + 1e-12) & (u >= -1e-12) & (u <= 1 + 1e-12)
+        inner = valid & (t > 1e-12) & (t < 1 - 1e-12)
+        for i_, t_ in zip(ii[inner], np.clip(t[inner], 0.0, 1.0)):
+            t_lists.setdefault(int(i_), []).append(float(t_))
+        # collinear overlap: project other edge's endpoints onto this edge
+        rr = np.einsum("ij,ij->i", r, r)
+        par = (~nonpar) & (np.abs(cross_qp_r) < 1e-15) & (rr > 0)
+        if np.any(par):
+            for flag, P_ in ((par, A[jj]), (par, B[jj])):
+                tproj = np.einsum("ij,ij->i", P_ - A[ii], r) / np.where(rr == 0, 1.0, rr)
+                good = flag & (tproj > 1e-12) & (tproj < 1 - 1e-12)
+                for i_, t_ in zip(ii[good], tproj[good]):
+                    t_lists.setdefault(int(i_), []).append(float(t_))
+
+    # split edges at their t values → sub-edge arrays
+    P_parts, Q_parts, sp_parts = [A], [B], [pidx]
+    if t_lists:
+        split_ids = np.asarray(sorted(t_lists.keys()), dtype=np.int64)
+        keep_mask = np.ones(E, dtype=bool)
+        keep_mask[split_ids] = False
+        P_parts, Q_parts, sp_parts = [A[keep_mask]], [B[keep_mask]], [pidx[keep_mask]]
+        for i_ in split_ids:
+            tt = np.unique(np.concatenate([[0.0, 1.0], np.asarray(t_lists[int(i_)])]))
+            pts = A[i_] + tt[:, None] * (B[i_] - A[i_])
+            P_parts.append(pts[:-1])
+            Q_parts.append(pts[1:])
+            sp_parts.append(np.full(len(tt) - 1, pidx[i_], dtype=np.int64))
+    P = np.vstack(P_parts)
+    Q = np.vstack(Q_parts)
+    SP = np.concatenate(sp_parts)
+    # drop degenerate sub-edges
+    nz = np.any(np.abs(P - Q) > 1e-9, axis=1)
+    P, Q, SP = P[nz], Q[nz], SP[nz]
+
+    # classify midpoints: strictly inside any OTHER polygon → drop
+    mids = 0.5 * (P + Q)
+    strictly_inside = np.zeros(len(P), dtype=bool)
+    for j, poly in enumerate(polys):
+        bx = boxes[j]
+        cand = (
+            ~strictly_inside
+            & (SP != j)
+            & (mids[:, 0] >= bx[0] - eps)
+            & (mids[:, 0] <= bx[2] + eps)
+            & (mids[:, 1] >= bx[1] - eps)
+            & (mids[:, 1] <= bx[3] + eps)
+        )
+        if not np.any(cand):
+            continue
+        pts = mids[cand]
+        inside = points_in_ring(pts[:, 0], pts[:, 1], poly)
+        onb = _points_on_boundary(pts, poly)
+        upd = np.zeros(len(P), dtype=bool)
+        upd[np.nonzero(cand)[0]] = inside & ~onb
+        strictly_inside |= upd
+    kept = [(P[i], Q[i]) for i in np.nonzero(~strictly_inside)[0]]
 
     # drop antiparallel duplicate shared edges (tangential contacts)
     seen: dict[tuple, int] = {}
@@ -503,17 +534,18 @@ def polygon_union(rings: list[np.ndarray]) -> list[np.ndarray]:
     return result
 
 
-def _on_boundary(p: np.ndarray, ring: np.ndarray, eps: float = 1e-12) -> bool:
-    r = ring
-    a = r[:-1]
-    b = r[1:]
-    ab = b - a
-    ap = p - a
-    cross = np.abs(ab[:, 0] * ap[:, 1] - ab[:, 1] * ap[:, 0])
-    ab2 = np.einsum("ij,ij->i", ab, ab)
-    t = np.einsum("ij,ij->i", ap, ab) / np.where(ab2 == 0, 1.0, ab2)
-    dist2 = np.einsum("ij,ij->i", ap - np.clip(t, 0, 1)[:, None] * ab, ap - np.clip(t, 0, 1)[:, None] * ab)
-    return bool(np.any(dist2 <= eps * eps * np.maximum(1.0, ab2)))
+def _points_on_boundary(pts: np.ndarray, ring: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    """Vectorized: which of M points lie within eps of the ring boundary.
+    M×S distance matrix — callers bound group sizes (per-cell dissolve)."""
+    a = ring[:-1]
+    ab = ring[1:] - a
+    ab2 = np.einsum("ij,ij->i", ab, ab)  # (S,)
+    ap = pts[:, None, :] - a[None, :, :]  # (M, S, 2)
+    t = np.einsum("msj,sj->ms", ap, ab) / np.where(ab2 == 0, 1.0, ab2)[None, :]
+    t = np.clip(t, 0.0, 1.0)
+    d = ap - t[:, :, None] * ab[None, :, :]
+    dist2 = np.einsum("msj,msj->ms", d, d)
+    return np.any(dist2 <= eps * eps, axis=1)
 
 
 def union_or_parts(rings: list[np.ndarray]) -> tuple[list[np.ndarray], bool]:
