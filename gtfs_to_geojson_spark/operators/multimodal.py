@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) column operators.
+
+Images are opaque ``binary`` columns with typed metadata
+(input_hint schema). Decode / feature-extract / resize run as
+Arrow-batched ``mapInPandas`` kernels — the Spark-side plumbing
+(schemas, batch shape, partition behavior) is real and tested; decode
+itself is real for the sandbox's lossless whitelist (ppm/bmp/png via
+images.py) and raises ``NotImplementedError`` for formats whose codecs
+(jpeg/webp/mp3/mp4) aren't available without PIL/ffmpeg — the
+clearly-marked stub seam per the build contract.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import images as img
+
+PIXEL_STATS_SCHEMA = (
+    "image_id string, fmt string, w int, h int, decoded boolean, "
+    "mean_r double, mean_g double, mean_b double, std_gray double, "
+    "phash_match boolean, psnr_roundtrip double"
+)
+
+
+def decode_pixel_stats(images: DataFrame) -> DataFrame:
+    """Decode every image and emit per-image pixel statistics plus the
+    two per-row invariants (BASELINE.json): phash(decoded) == stored
+    phash, and round-trip PSNR (inf for the lossless whitelist,
+    reported so a future lossy codec is gated at ≥40dB)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt, w, h, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["phash"]
+            ):
+                try:
+                    px = img.decode(bytes(data), fmt)
+                except NotImplementedError:
+                    rows.append((image_id, fmt, int(w), int(h), False,
+                                 None, None, None, None, None, None))
+                    continue
+                gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                roundtrip = img.decode(img.encode(px, fmt), fmt)
+                p = img.psnr(px, roundtrip)
+                rows.append(
+                    (
+                        image_id, fmt, int(w), int(h), True,
+                        float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()), float(gray.std()),
+                        img.phash64(px) == int(ph),
+                        float(p) if np.isfinite(p) else float("inf"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "fmt", "w", "h", "decoded", "mean_r", "mean_g",
+                    "mean_b", "std_gray", "phash_match", "psnr_roundtrip",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h", "phash").mapInPandas(
+        kernel, PIXEL_STATS_SCHEMA
+    )
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded in the same format — a real
+    kernel proving the decode→transform→encode plumbing. Returns the
+    input schema with bytes/w/h replaced."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes, ws, hs = [], [], []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = img.decode(bytes(data), fmt)
+                ys = (np.arange(out_h) * px.shape[0] // out_h).astype(np.int64)
+                xs = (np.arange(out_w) * px.shape[1] // out_w).astype(np.int64)
+                rs = px[ys][:, xs]
+                out_bytes.append(img.encode(rs, fmt))
+                ws.append(out_w)
+                hs.append(out_h)
+            res = pdf.copy()
+            res["bytes"] = out_bytes
+            res["w"] = np.asarray(ws, dtype=np.int32)
+            res["h"] = np.asarray(hs, dtype=np.int32)
+            yield res
+
+    return images.mapInPandas(kernel, images.schema)
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB — video frame sampling. The Spark plumbing (schema,
+    mapInPandas signature, batch iteration) is the real design; the
+    decoder is unavailable in this sandbox (no ffmpeg/PyAV)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _pdf in batches:
+            raise NotImplementedError(
+                "video decode requires ffmpeg/PyAV (absent in sandbox); "
+                "frames would yield rows (video_id, frame_idx, bytes, w, h)"
+            )
+
+    return videos.mapInPandas(
+        kernel, "video_id string, frame_idx int, bytes binary, w int, h int"
+    )
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """STUB — audio feature extraction (same seam as video)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _pdf in batches:
+            raise NotImplementedError(
+                "audio decode requires an audio codec (absent in sandbox); "
+                "would yield (audio_id, duration_s, rms, zero_crossings)"
+            )
+
+    return audio.mapInPandas(
+        kernel, "audio_id string, duration_s double, rms double, zero_crossings long"
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over an embedding column (engine-new).
+
+* brute-force cosine top-k — the exactness baseline: JVM-side dot
+  product (``aggregate``/``zip_with``), window top-k; broadcast the
+  query set.
+* IVF-style bucketed ANN — the scale path: deterministic coarse
+  centroids (seeded from stable ids), vectors assigned to nearest
+  centroid in a vectorized pandas UDF; queries probe ``n_probe``
+  nearest centroids; exact cosine within probed buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast
+
+
+def _cos_col(a: str, b: str):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector; ties broken by id.
+    Queries are broadcast (small side), so the scan of the big
+    embedding table is a single map-side pass — no shuffle until the
+    per-query top-k window on k·|Q| rows."""
+    joined = emb.crossJoin(broadcast(queries))
+    scored = joined.withColumn("cosine", _cos_col(vec_col, q_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(q_id, F.col(id_col), F.round("cosine", 6).alias("cosine"), F.col("_rn").alias("rank"))
+    )
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Vectorized: embedding batch → nearest-centroid index (argmax
+    cosine against the centroid matrix in one matmul per Arrow batch)."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def seeded_centroids(emb: DataFrame, n_centroids: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic IVF codebook: the vectors with the n smallest
+    xxhash64(id) — stable, data-dependent, no RNG (sandbox forbids
+    wall-clock/random; a k-means refinement would slot in here)."""
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """IVF-bucketed ANN: exact cosine, restricted to the n_probe
+    nearest centroid buckets per query. Approximate (recall < 1 when
+    the true neighbor lives in an unprobed bucket) — the scale path
+    for 10^12-row tables where brute force is off the table."""
+    cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
+    assign = ivf_assign_udf(cents)
+    bucketed = emb.withColumn("_bucket", assign(F.col(vec_col)))
+
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cn.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = queries.withColumn("_bucket", F.explode(probe(F.col(q_vec))))
+    joined = bucketed.join(broadcast(q), "_bucket")
+    scored = joined.withColumn("cosine", _cos_col(vec_col, q_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(q_id, F.col(id_col), F.round("cosine", 6).alias("cosine"), F.col("_rn").alias("rank"))
+    )

@@ -1,0 +1,312 @@
+"""Distributed spatial joins J6–J9 (SURVEY.md §2.4) — the engine-new
+operator suite required by the north rule.
+
+Every join follows the same shape: a **cell-equi prejoin** (grid cells
+from cells.py, computed JVM-side) turns a spatial theta join into a
+hash join Catalyst can shuffle/broadcast like any other, followed by an
+**exact residual predicate**. The cell cover is a superset of the
+exact answer, so composition is exact (property-tested).
+
+Skew: dense-urban cells are the classic hotspot (FIXTURES.md §2 pins
+~30% of images into one cell). ``salted`` adds a bounded salt to the
+cell key on the build side and explodes the probe side over the salt
+range — the standard replicate-broadcast-side salting pattern — and
+AQE skew-join stays on as the runtime backstop (session.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast
+
+from .. import cells
+from .. import geometry as geom
+
+# ---------------------------------------------------------------------------
+# J6 — point-in-envelope (bbox range join) via cell cover
+# ---------------------------------------------------------------------------
+
+
+def cover_bbox_cells_col(min_lon, min_lat, max_lon, max_lat, res: int):
+    """All cells intersecting a bbox, as a pure Column expression:
+    cross of the x and y index ranges via ``sequence`` + nested
+    ``transform`` + ``flatten`` — no UDF, stays JVM-side."""
+    x0, y0 = cells.xy_col(min_lat, min_lon, res)
+    x1, y1 = cells.xy_col(max_lat, max_lon, res)
+    res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(x0, x1),
+            lambda x: F.transform(
+                F.sequence(y0, y1),
+                lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,
+            ),
+        )
+    )
+
+
+def point_in_envelope_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    res: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """J6 — stops (points) ⋈ route envelopes (boxes with min_lon/
+    min_lat/max_lon/max_lat). Cell-cover equi-prejoin + exact residual
+    bbox predicate; inclusive edges (deterministic for on-edge
+    fixtures). The reference consumes envelopes as an output format
+    (formats/envelope.ts:14); the join itself is engine-new."""
+    b = boxes.withColumn(
+        "_cell",
+        F.explode(
+            cover_bbox_cells_col(
+                F.col("min_lon"), F.col("min_lat"), F.col("max_lon"), F.col("max_lat"), res
+            )
+        ),
+    )
+    p = points.withColumn("_cell", cells.cell_col(F.col(lat_col), F.col(lon_col), res))
+    joined = p.join(b, "_cell")
+    return joined.filter(
+        (F.col(lon_col) >= F.col("min_lon"))
+        & (F.col(lon_col) <= F.col("max_lon"))
+        & (F.col(lat_col) >= F.col("min_lat"))
+        & (F.col(lat_col) <= F.col("max_lat"))
+    ).drop("_cell")
+
+
+# ---------------------------------------------------------------------------
+# J7 — point-in-polygon via cell cover + exact ray-cast residual
+# ---------------------------------------------------------------------------
+
+_RINGS_T = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+
+
+def polygon_cover_udf(res: int):
+    """pandas UDF: polygon rings → covering cell array (bbox cover —
+    superset; the exact residual makes the join exact)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover(rings: pd.Series) -> pd.Series:
+        out = []
+        for poly in rings:
+            outer = np.asarray([[p[0], p[1]] for p in poly[0]], dtype=np.float64)
+            mnx, mny, mxx, mxy = geom.bbox(outer)
+            out.append([int(c) for c in cells.cover_bbox(mnx, mny, mxx, mxy, res)])
+        return pd.Series(out)
+
+    return cover
+
+
+def pip_residual_udf():
+    """pandas UDF: exact even-odd containment of (lon, lat) in Polygon
+    rings (numpy batch per Arrow chunk)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series, rings: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lon_v = lon.to_numpy()
+        lat_v = lat.to_numpy()
+        for i, poly in enumerate(rings):
+            rr = [np.asarray([[p[0], p[1]] for p in ring], dtype=np.float64) for ring in poly]
+            out[i] = bool(geom.points_in_polygon(lon_v[i : i + 1], lat_v[i : i + 1], rr)[0])
+        return pd.Series(out)
+
+    return pip
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    poly_col: str = "polygon",
+) -> DataFrame:
+    """J7 — exact point-in-polygon join: explode(cover cells) equi-join,
+    then the vectorized ray-cast residual. Used for stop-in-dissolved-
+    buffer and image-in-route-polygon (J9) assignment."""
+    cov = polygon_cover_udf(res)
+    pg = polygons.withColumn("_cell", F.explode(cov(F.col(poly_col))))
+    pt = points.withColumn("_cell", cells.cell_col(F.col(lat_col), F.col(lon_col), res))
+    joined = pt.join(pg, "_cell").drop("_cell")
+    pip = pip_residual_udf()
+    return joined.filter(pip(F.col(lon_col), F.col(lat_col), F.col(poly_col)))
+
+
+# ---------------------------------------------------------------------------
+# J8 — kNN join via ring expansion + window top-k
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    res: int,
+    k: int = 1,
+    point_key: str = "point_id",
+    target_key: str = "target_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    t_lon: str = "t_lon",
+    t_lat: str = "t_lat",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """J8 — k nearest targets per point, exact.
+
+    Ring-expansion candidate search: round r joins each unresolved
+    point's cell k-ring (radius 2^r − 1 cells, built with a JVM-side
+    sequence cross — no UDF) against target cells. A point is resolved
+    once its k-th candidate distance is ≤ the ring's guarantee radius
+    (ring_cells · cell_min_extent_m) — no closer target can live
+    outside the searched ring. Stragglers (sparse regions) escalate;
+    the final round is an exact brute-force for whatever remains
+    (empty-ring escalation, SURVEY.md §7 hard part 3).
+
+    Distances: haversine meters (functions.geo.haversine_m, JVM-side).
+    Deterministic tie-break on (distance, target_id).
+    """
+    from ..functions.geo import haversine_m
+
+    n = 1 << res
+    # conservative per-cell metric extents at the point's latitude
+    cell_h_m = 180.0 / n * geom.EARTH_M_PER_DEG_LAT
+
+    t = targets.select(
+        F.col(target_key),
+        F.col(t_lon),
+        F.col(t_lat),
+        cells.cell_col(F.col(t_lat), F.col(t_lon), res).alias("_tcell"),
+    )
+    p0 = points.select(
+        F.col(point_key),
+        F.col(lon_col),
+        F.col(lat_col),
+        cells.cell_col(F.col(lat_col), F.col(lon_col), res).alias("_pcell"),
+    )
+
+    from pyspark.sql import Window
+
+    unresolved = p0
+    results: list[DataFrame] = []
+    ring = 1
+    for round_i in range(max_rounds):
+        if unresolved.isEmpty():
+            break
+        # candidate cells: square k-ring of radius `ring` (JVM sequence cross)
+        px = F.shiftright(F.col("_pcell"), 29).bitwiseAND(F.lit((1 << 29) - 1))
+        py = F.col("_pcell").bitwiseAND(F.lit((1 << 29) - 1))
+        res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+        cand_cells = F.flatten(
+            F.transform(
+                F.sequence(F.greatest(px - ring, F.lit(0)), F.least(px + ring, F.lit(n - 1))),
+                lambda x: F.transform(
+                    F.sequence(F.greatest(py - ring, F.lit(0)), F.least(py + ring, F.lit(n - 1))),
+                    lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,
+                ),
+            )
+        )
+        probe = unresolved.withColumn("_tcell", F.explode(cand_cells))
+        cand = probe.join(t, "_tcell").withColumn(
+            "_dist_m", haversine_m(F.col(lat_col), F.col(lon_col), F.col(t_lat), F.col(t_lon))
+        )
+        w = Window.partitionBy(point_key).orderBy(F.asc("_dist_m"), F.asc(target_key))
+        topk = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_tcell")
+        )
+        # guarantee: the k-th neighbor must be within ring·min(cell_w, cell_h)
+        # at this latitude — any unsearched cell is ≥ that far away.
+        # cell_w = 2·cell_h·cos(lat) ⇒ min extent = cell_h·min(1, 2cos(lat)).
+        guarantee_m = (
+            F.lit(float(ring * cell_h_m))
+            * F.least(F.lit(1.0), F.lit(2.0) * F.cos(F.radians(F.col(lat_col))))
+            * F.lit(0.999)
+        )
+        guarantee = (
+            F.max(F.col("_dist_m")).over(Window.partitionBy(point_key)) <= guarantee_m
+        ) & (F.count(F.lit(1)).over(Window.partitionBy(point_key)) >= k)
+        resolved = topk.withColumn("_ok", guarantee).filter(F.col("_ok")).drop("_ok", "_rn")
+        results.append(resolved)
+        done_keys = resolved.select(point_key).distinct()
+        unresolved = unresolved.join(done_keys, point_key, "left_anti")
+        ring *= 2
+
+    if not unresolved.isEmpty():
+        # exact brute-force for stragglers — rare, bounded
+        cand = unresolved.drop("_pcell").crossJoin(t.drop("_tcell")).withColumn(
+            "_dist_m", haversine_m(F.col(lat_col), F.col(lon_col), F.col(t_lat), F.col(t_lon))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(point_key).orderBy(F.asc("_dist_m"), F.asc(target_key))
+        results.append(
+            cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+        )
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r.drop("_pcell"), allowMissingColumns=True)
+    return out.drop("_pcell")
+
+
+# ---------------------------------------------------------------------------
+# J9 — raster-tile → vector assignment of the image table
+# ---------------------------------------------------------------------------
+
+
+def image_geotags(images: DataFrame) -> DataFrame:
+    """phash → (lon, lat) via the deterministic warp
+    (images.geotag_from_phash), Arrow-batched."""
+    from .. import images as img
+
+    @F.pandas_udf("lon double, lat double")
+    def tag(phash: pd.Series) -> pd.DataFrame:
+        lon, lat = img.geotag_from_phash(phash.to_numpy())
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return images.withColumn("_g", tag(F.col("phash"))).select(
+        "*", F.col("_g.lon").alias("lon"), F.col("_g.lat").alias("lat")
+    ).drop("_g")
+
+
+def assign_images_to_tiles(images: DataFrame, res: int) -> DataFrame:
+    """J9a — tile id per image: geotag (pandas UDF) + JVM-side cell
+    encode. The tile id IS the cell id at ``res``."""
+    tagged = image_geotags(images)
+    return tagged.withColumn("tile", cells.cell_col(F.col("lat"), F.col("lon"), res))
+
+
+def assign_images_to_polygons(
+    images: DataFrame, polygons: DataFrame, res: int, poly_col: str = "polygon"
+) -> DataFrame:
+    """J9b — image → containing vector polygon (route buffer etc.):
+    J7 at image scale, caption carried through untouched (caption
+    equality invariant, BASELINE.json)."""
+    tagged = assign_images_to_tiles(images, res)
+    return point_in_polygon_join(tagged, polygons, res)
+
+
+# ---------------------------------------------------------------------------
+# skew salting (grouped-map / join hotspots)
+# ---------------------------------------------------------------------------
+
+
+def salted(df: DataFrame, key_col: str, salt_factor: int, id_col: str) -> DataFrame:
+    """Add a bounded salt derived from a stable id — use as the extra
+    grouping key for hot cells: ``groupBy(key, _salt)`` partials then
+    ``groupBy(key)`` final (same partial+final shape as A2/A3)."""
+    return df.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_factor)))
+
+
+def cell_histogram(df: DataFrame, cell_col_name: str = "tile") -> DataFrame:
+    """Pre-pass cell histogram — drives per-cell salt factors
+    (SURVEY.md §4 skew plan) and feeds lineage metrics."""
+    return df.groupBy(cell_col_name).agg(F.count(F.lit(1)).alias("n_rows"))

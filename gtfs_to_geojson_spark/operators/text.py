@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines (engine-new).
+
+All pure Column expressions (JVM-side, codegen) — language ID
+heuristic, quality scoring, token counting, and a min-shingle document
+fingerprint. Each has an exact ANSI-SQL twin in __spark_entry__'s
+oracle_sql (same formulas), so every operator is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language for the n-gram/stopword language-ID
+# heuristic; deliberately tiny and deterministic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to "],
+    "de": [" der ", " und ", " die ", " ist "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " los ", " que ", " y "],
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring — (len(x) − len(replace(x,
+    needle, ''))) / len(needle); identical formula in SQL."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / F.lit(len(needle))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum(_count_occurrences(padded, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predicted language = argmax marker-hit count, deterministic
+    tie-break on language code (greatest-of-structs trick, JVM-side)."""
+    scores = lang_scores(F.col(text_col))
+    structs = [
+        F.struct(s.alias("score"), F.lit(-i).alias("prio"), F.lit(lang).alias("lang"))
+        for i, (lang, s) in enumerate(sorted(scores.items()))
+    ]
+    best = F.greatest(*structs)
+    return docs.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("double").alias("pred_score"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score: length, word
+    count, mean word length, punctuation ratio, stopword ratio,
+    uppercase ratio. Everything regexp/length arithmetic — codegen."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    n_stop = sum(_count_occurrences(padded, m) for m in LANG_MARKERS["en"])
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    upper_ratio = n_upper / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    mean_wlen = n_chars / F.greatest(n_words, F.lit(1))
+    score = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 4, F.lit(0.5))
+        - F.least(upper_ratio * 2, F.lit(0.3))
+        + F.least(stop_ratio, F.lit(0.3))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (runs of letters /
+    digits / single other chars) — both as pure regexp Columns."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe_ish = F.size(F.regexp_extract_all(t, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe_ish.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, shingle_n: int = 8, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint = min md5 over rolling character shingles
+    (winnowing-style min-sampling, engine-stable md5 so the oracle
+    reproduces it)."""
+    s = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - shingle_n + 1, F.lit(1))),
+        lambda i: s.substr(i, F.lit(shingle_n)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("fingerprint"),
+    )

@@ -102,11 +102,28 @@ def read_feed(spark: SparkSession, path: str) -> dict[str, DataFrame]:
 
 
 def feed_from_pandas(spark: SparkSession, frames: dict) -> dict[str, DataFrame]:
-    """Synthetic fixture (synth.make_gtfs_feed) → typed Spark DFs."""
+    """Synthetic fixture (synth.make_gtfs_feed) → typed Spark DFs.
+
+    Nullable int columns arrive from pandas as float (NaN promotion);
+    normalize to object-with-None so the conversion works whether or
+    not Arrow is enabled."""
+    import pandas as pd
+
     out = {}
     for name, schema in GTFS_SCHEMAS.items():
         if name in frames:
-            out[name] = spark.createDataFrame(frames[name], schema=schema)
+            import numpy as np
+
+            pdf = frames[name].astype(object).where(pd.notnull(frames[name]), None)
+            int_cols = [f.name for f in schema.fields if f.dataType.simpleString() == "int"]
+            for c in int_cols:
+                if c in pdf.columns:
+                    # keep dtype=object: int+None in a plain Series re-promotes to float64
+                    pdf[c] = np.asarray(
+                        [int(v) if v is not None and not pd.isna(v) else None for v in pdf[c]],
+                        dtype=object,
+                    )
+            out[name] = spark.createDataFrame(pdf, schema=schema)
         else:
             out[name] = spark.createDataFrame([], schema)
     return out
