@@ -168,7 +168,7 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = line
         elif f == 1:  # Sub
             for x in range(w * 3):
-                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
+                line[x] = (int(line[x]) + (int(line[x - bpp]) if x >= bpp else 0)) & 0xFF
             out[y] = line
         elif f == 2:  # Up
             out[y] = (line.astype(np.int16) + prev).astype(np.uint8)

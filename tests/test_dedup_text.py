@@ -1,0 +1,123 @@
+"""Dedup / text / similarity operator tests on controlled fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_to_geojson_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (3, "completely different content about spark engines"),
+        (4, "der hund und die katze und der vogel ist hier"),        # german-ish
+        (5, "le chat et le chien et les oiseaux"),                   # french-ish
+        (6, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),          # case variant
+        (7, "zzz qqq xxx"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    dups = out[out.n_dups > 1]
+    assert len(dups) == 1
+    assert dups.iloc[0]["keep_id"] == 0 and dups.iloc[0]["n_dups"] == 2
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got          # identical
+    assert (0, 2) in got          # near dup
+    assert (0, 6) in got          # case-insensitive (lowered)
+    assert all(a < b for a, b in got)
+    assert not any({3, 7} & {a, b} for a, b in got if (a, b) != (3, 7))
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got
+    assert (0, 6) in got
+    est = dict(zip(zip(pairs.id_a, pairs.id_b), pairs.est_jaccard))
+    assert est[(0, 1)] == 1.0
+
+
+def test_simhash_near_pairs(docs):
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got
+    assert (0, 6) in got  # token-level identical after lowering
+    assert (0, 7) not in got and (3, 7) not in got
+
+
+def test_lang_id(docs):
+    out = text.lang_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[4, "pred_lang"] == "de"
+    assert out.loc[5, "pred_lang"] == "fr"
+    # tie (no markers at all) → deterministic alphabetical winner
+    assert out.loc[7, "pred_lang"] == "de"
+    assert out.loc[7, "pred_score"] == 0.0
+
+
+def test_quality_and_tokens(docs):
+    q = text.quality_score(docs).toPandas().set_index("doc_id")
+    assert q.loc[0, "n_words"] == 9
+    assert q.loc[0, "stopword_ratio"] > 0
+    t = text.token_count(docs).toPandas().set_index("doc_id")
+    assert t.loc[0, "ws_tokens"] == 9
+    assert t.loc[7, "ws_tokens"] == 3
+
+
+def test_fingerprint_matches_dups(docs):
+    fp = text.fingerprint(docs).toPandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[1, "fingerprint"]
+    assert fp.loc[0, "fingerprint"] == fp.loc[6, "fingerprint"]  # lowered
+    assert fp.loc[0, "fingerprint"] != fp.loc[3, "fingerprint"]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 16))
+    # make 3 exact-direction duplicates of vec 0
+    base[1] = base[0] * 2.0
+    base[2] = base[0] * 0.5 + rng.normal(size=16) * 0.01
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(40), "embedding": [row.tolist() for row in base]}
+    )
+    return spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dup(emb):
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.98).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+
+
+def test_brute_force_topk_exact(emb):
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.brute_force_topk(emb, queries, k=3).toPandas()
+    r1 = out[out.q_id == 0].sort_values("rank")
+    assert list(r1["vec_id"])[:2] == [0, 1]  # self then scaled copy (cos=1, id-tiebreak)
+
+
+def test_ivf_recall_against_brute(emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = similarity.brute_force_topk(emb, queries, k=3).toPandas()
+    ivf = similarity.ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=3).toPandas()
+    bs = {(r.q_id, r.vec_id) for r in brute.itertuples()}
+    iv = {(r.q_id, r.vec_id) for r in ivf.itertuples()}
+    recall = len(bs & iv) / len(bs)
+    assert recall >= 0.8  # high-probe IVF ≈ brute force on tiny data

@@ -1,0 +1,145 @@
+"""Geometry kernel property tests (SURVEY.md §5 item 4)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gtfs_to_geojson_spark import geometry as g
+
+
+def test_hull_contains_all_points():
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        pts = rng.uniform(-1, 1, (rng.integers(3, 200), 2))
+        h = g.convex_hull(pts)
+        if h is None:
+            continue
+        assert np.all(g.points_in_ring(pts[:, 0], pts[:, 1], h))
+        assert g.signed_area(h) >= 0  # CCW
+
+
+def test_hull_degenerate():
+    assert g.convex_hull(np.asarray([[0, 0], [1, 1]])) is None
+    assert g.convex_hull(np.asarray([[0, 0], [1, 1], [2, 2], [3, 3]])) is None
+    assert g.convex_hull(np.asarray([[0, 0], [0, 0], [0, 0]])) is None
+
+
+def test_hull_mergeable():
+    """hull(hull(A) ∪ hull(B)) == hull(A ∪ B) — the two-phase agg."""
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 1, (100, 2))
+    b = rng.uniform(0.5, 1.5, (100, 2))
+    direct = g.convex_hull(np.vstack([a, b]))
+    ha, hb = g.convex_hull(a), g.convex_hull(b)
+    merged = g.convex_hull(np.vstack([ha[:-1], hb[:-1]]))
+    assert np.allclose(direct, merged)
+
+
+def test_rdp_endpoints_and_tolerance():
+    rng = np.random.default_rng(5)
+    line = np.cumsum(rng.uniform(-1, 1, (200, 2)), axis=0)
+    out = g.simplify_line(line, 0.5)
+    assert np.array_equal(out[0], line[0]) and np.array_equal(out[-1], line[-1])
+    assert len(out) <= len(line)
+    # zero tolerance keeps everything (no coincident points here)
+    assert len(g.simplify_line(line, 0.0)) == len(line)
+
+
+def test_buffer_point_radius_and_containment():
+    ring = g.buffer_point(37.7, -122.4, 400, steps=64)
+    d = g.haversine_m(37.7, -122.4, ring[:, 1], ring[:, 0])
+    assert np.allclose(d, 400, rtol=0.02)
+    assert g.points_in_ring([-122.4], [37.7], ring)[0]
+
+
+def test_buffer_line_contains_line():
+    rng = np.random.default_rng(9)
+    pts = np.cumsum(rng.uniform(-0.003, 0.003, (30, 2)), axis=0) + [-122.4, 37.7]
+    caps = g.buffer_line(pts, 300)
+    polys = [[r] for r in caps]
+    assert np.all(g.points_in_multipolygon(pts[:, 0], pts[:, 1], polys))
+    # midpoints of segments too
+    mids = 0.5 * (pts[:-1] + pts[1:])
+    assert np.all(g.points_in_multipolygon(mids[:, 0], mids[:, 1], polys))
+
+
+def test_union_area_monotone():
+    """union area ≥ max input area; ≤ sum of areas."""
+    rng = np.random.default_rng(3)
+    rings = [
+        g.buffer_point(37.7 + rng.uniform(-0.01, 0.01), -122.4 + rng.uniform(-0.01, 0.01), 400, steps=16)
+        for _ in range(40)
+    ]
+    merged, ok = g.union_or_parts(rings)
+    assert ok
+    area_u = sum(g.signed_area(r) for r in merged)
+    areas = [abs(g.signed_area(r)) for r in rings]
+    assert area_u >= max(areas) - 1e-15
+    assert area_u <= sum(areas) + 1e-15
+
+
+def test_union_disjoint_identity():
+    a = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    out = g.polygon_union([a, a + 10.0])
+    assert len(out) == 2
+    assert all(abs(abs(g.signed_area(r)) - 1.0) < 1e-12 for r in out)
+
+
+def test_union_with_hole():
+    r1 = np.asarray([[0, 0], [3, 0], [3, 1], [0, 1]], float)
+    r2 = np.asarray([[0, 2], [3, 2], [3, 3], [0, 3]], float)
+    r3 = np.asarray([[0, 0], [1, 0], [1, 3], [0, 3]], float)
+    r4 = np.asarray([[2, 0], [3, 0], [3, 3], [2, 3]], float)
+    out = g.polygon_union([r1, r2, r3, r4])
+    sa = sorted(g.signed_area(r) for r in out)
+    assert len(out) == 2
+    assert abs(sa[0] + 1.0) < 1e-9  # hole, CW
+    assert abs(sa[1] - 9.0) < 1e-9  # outer, CCW
+
+
+def test_union_containment_preserved():
+    """Any point inside some input ring is inside the union outers
+    (and respects holes via even-odd) — the row-set contract."""
+    rng = np.random.default_rng(17)
+    rings = [
+        g.buffer_point(37.7 + rng.uniform(-0.005, 0.005), -122.4 + rng.uniform(-0.005, 0.005), 350, steps=12)
+        for _ in range(25)
+    ]
+    merged, ok = g.union_or_parts(rings)
+    assert ok
+    probe_lon = rng.uniform(-122.41, -122.39, 400)
+    probe_lat = rng.uniform(37.69, 37.71, 400)
+    in_parts = g.points_in_multipolygon(probe_lon, probe_lat, [[r] for r in rings])
+    in_union = g.points_in_polygon(probe_lon, probe_lat, merged)
+    # allow boundary-epsilon flips only
+    disagree = in_parts != in_union
+    assert disagree.mean() < 0.01
+
+
+def test_pip_edge_cases():
+    sq = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    assert g.points_in_ring([0.5], [0.5], sq)[0]
+    assert g.points_in_ring([0.0], [0.5], sq)[0]  # on edge = inside
+    assert g.points_in_ring([0.0], [0.0], sq)[0]  # corner
+    assert not g.points_in_ring([1.0001], [0.5], sq)[0]
+    hole = np.asarray([[0.25, 0.25], [0.75, 0.25], [0.75, 0.75], [0.25, 0.75]], float)
+    assert not g.points_in_polygon([0.5], [0.5], [sq, hole])[0]
+
+
+def test_point_segment_distance():
+    seg_a = np.asarray([[-122.41, 37.70]])
+    seg_b = np.asarray([[-122.39, 37.70]])
+    # point directly above the middle, ~1110 m north
+    d = g.point_segments_dist_m(37.71, -122.40, seg_a, seg_b)
+    assert abs(d[0] - 0.01 * g.EARTH_M_PER_DEG_LAT) < 2.0
+    # beyond endpoint clamps to endpoint distance
+    d2 = g.point_segments_dist_m(37.70, -122.45, seg_a, seg_b)
+    assert d2[0] > 3000
+
+
+def test_bbox_polygon_shape():
+    p = g.bbox_polygon(-1, -2, 3, 4)
+    assert p.shape == (5, 2)
+    assert np.array_equal(p[0], p[-1])
+    assert g.signed_area(p) > 0

@@ -1,0 +1,59 @@
+"""Checkpoint/lineage resume: a killed run must not recompute
+completed buckets (SURVEY.md §7 step 10)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_to_geojson_spark.streaming.lineage import LineageManifest, run_bucketed
+
+
+@pytest.fixture()
+def work(spark):
+    pdf = pd.DataFrame({"bucket": [i % 5 for i in range(100)], "v": range(100)})
+    return spark.createDataFrame(pdf)
+
+
+def test_resume_skips_completed(spark, work, tmp_path):
+    manifest = LineageManifest(spark, str(tmp_path / "m"))
+    processed = []
+
+    def proc(df):
+        n = df.count()
+        processed.append(n)
+        return n
+
+    # simulate a run killed after 2 buckets
+    class Killed(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def proc_killing(df):
+        if calls["n"] >= 2:
+            raise Killed()
+        calls["n"] += 1
+        return proc(df)
+
+    with pytest.raises(Killed):
+        run_bucketed(spark, work, "bucket", proc_killing, manifest)
+    assert len(processed) == 2
+    done_before = {r[0] for r in manifest.completed_buckets().collect()}
+    assert len(done_before) == 2
+
+    # resume: only the remaining 3 buckets run
+    n_proc, n_skip = run_bucketed(spark, work, "bucket", proc, manifest)
+    assert n_proc == 3 and n_skip == 2
+    assert len(processed) == 5
+    assert sum(processed) == 100  # every row processed exactly once
+
+    # idempotent second resume: nothing to do
+    n_proc2, n_skip2 = run_bucketed(spark, work, "bucket", proc, manifest)
+    assert n_proc2 == 0 and n_skip2 == 5
+
+
+def test_pending_anti_join(spark, work, tmp_path):
+    manifest = LineageManifest(spark, str(tmp_path / "m2"))
+    manifest.mark_done([(0, 20, 1.0), (3, 20, 1.0)])
+    pending = manifest.pending(work, "bucket")
+    assert {r["bucket"] for r in pending.select("bucket").distinct().collect()} == {1, 2, 4}

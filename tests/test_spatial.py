@@ -1,0 +1,196 @@
+"""Spatial joins J6–J9 validated against brute-force oracles
+(FIXTURES.md §4), plus the image pipeline end-to-end invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_to_geojson_spark import cells, images as I
+from gtfs_to_geojson_spark import geometry as g
+from gtfs_to_geojson_spark.operators import multimodal, spatial
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    rng = np.random.default_rng(42)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(n),
+            "lon": rng.uniform(-122.52, -122.35, n),
+            "lat": rng.uniform(37.70, 37.84, n),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+@pytest.fixture(scope="module")
+def boxes_df(spark):
+    rng = np.random.default_rng(7)
+    n = 25
+    cx = rng.uniform(-122.50, -122.37, n)
+    cy = rng.uniform(37.71, 37.83, n)
+    hw = rng.uniform(0.002, 0.02, n)
+    hh = rng.uniform(0.002, 0.02, n)
+    pdf = pd.DataFrame(
+        {
+            "box_id": np.arange(n),
+            "min_lon": cx - hw,
+            "max_lon": cx + hw,
+            "min_lat": cy - hh,
+            "max_lat": cy + hh,
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_point_in_envelope_exact(points_df, boxes_df):
+    (pdf_s, pdf), (bdf_s, bdf) = points_df, boxes_df
+    got = {
+        (r["point_id"], r["box_id"])
+        for r in spatial.point_in_envelope_join(pdf_s, bdf_s, res=12).collect()
+    }
+    want = set()
+    for _, b in bdf.iterrows():
+        m = (
+            (pdf.lon >= b.min_lon) & (pdf.lon <= b.max_lon)
+            & (pdf.lat >= b.min_lat) & (pdf.lat <= b.max_lat)
+        )
+        want |= {(int(p), int(b.box_id)) for p in pdf.point_id[m]}
+    assert got == want
+
+
+def test_point_in_envelope_edge_inclusive(spark):
+    p = spark.createDataFrame(
+        pd.DataFrame({"point_id": [0, 1, 2], "lon": [-122.40, -122.39, -122.30], "lat": [37.75, 37.76, 37.75]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"box_id": [0], "min_lon": [-122.40], "max_lon": [-122.39], "min_lat": [37.75], "max_lat": [37.76]})
+    )
+    got = {(r["point_id"]) for r in spatial.point_in_envelope_join(p, b, res=12).collect()}
+    assert got == {0, 1}  # on-edge inclusive, outside excluded
+
+
+def test_point_in_polygon_exact(spark, points_df):
+    (pdf_s, pdf) = points_df
+    # concave polygon (L-shape) + triangle
+    L = [[-122.48, 37.72], [-122.42, 37.72], [-122.42, 37.75], [-122.45, 37.75],
+         [-122.45, 37.80], [-122.48, 37.80], [-122.48, 37.72]]
+    T = [[-122.40, 37.76], [-122.36, 37.76], [-122.38, 37.82], [-122.40, 37.76]]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0, 1], "polygon": [[L], [T]]}),
+        schema="poly_id long, polygon array<array<array<double>>>",
+    )
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in spatial.point_in_polygon_join(pdf_s, polys, res=12).collect()
+    }
+    want = set()
+    for pid, rings in [(0, [np.asarray(L)]), (1, [np.asarray(T)])]:
+        inside = g.points_in_polygon(pdf.lon.to_numpy(), pdf.lat.to_numpy(), rings)
+        want |= {(int(p), pid) for p in pdf.point_id[inside]}
+    assert got == want
+
+
+def test_knn_matches_bruteforce(spark, points_df):
+    (pdf_s, pdf) = points_df
+    rng = np.random.default_rng(3)
+    nt = 30
+    tgt_pd = pd.DataFrame(
+        {
+            "target_id": np.arange(nt),
+            "t_lon": rng.uniform(-122.52, -122.35, nt),
+            "t_lat": rng.uniform(37.70, 37.84, nt),
+        }
+    )
+    tgt = spark.createDataFrame(tgt_pd)
+    got = {
+        (r["point_id"], r["target_id"])
+        for r in spatial.knn_join(pdf_s, tgt, res=14, k=1).collect()
+    }
+    # brute force with the same metric
+    want = set()
+    for _, p in pdf.iterrows():
+        d = g.haversine_m(p.lat, p.lon, tgt_pd.t_lat.to_numpy(), tgt_pd.t_lon.to_numpy())
+        j = int(np.lexsort((tgt_pd.target_id.to_numpy(), d))[0])
+        want.add((int(p.point_id), int(tgt_pd.target_id[j])))
+    assert got == want
+
+
+def test_knn_k3_and_sparse_targets(spark, points_df):
+    (pdf_s, pdf) = points_df
+    # only 2 targets → every point must still resolve (brute-force tail)
+    tgt_pd = pd.DataFrame(
+        {"target_id": [0, 1], "t_lon": [-122.50, -122.36], "t_lat": [37.71, 37.83]}
+    )
+    tgt = spark.createDataFrame(tgt_pd)
+    out = spatial.knn_join(pdf_s, tgt, res=14, k=2).toPandas()
+    assert len(out) == 2 * len(pdf)
+    assert set(out["point_id"]) == set(pdf["point_id"])
+
+
+def test_image_tile_assignment_and_caption_equality(spark, images_df, images_pd):
+    tiled = spatial.assign_images_to_tiles(images_df, res=14)
+    got = tiled.select("image_id", "caption", "tile", "lon", "lat").toPandas()
+    # oracle: recompute geotag + cell from stored phash
+    lon, lat = I.geotag_from_phash(images_pd["phash"].to_numpy())
+    want_tile = cells.encode(lat, lon, 14)
+    merged = got.set_index("image_id").loc[images_pd["image_id"]]
+    assert np.array_equal(merged["tile"].to_numpy(), want_tile)
+    # caption carried through untouched (per-row invariant)
+    assert list(merged["caption"]) == list(images_pd["caption"])
+
+
+def test_image_to_polygon_assignment(spark, images_df, images_pd):
+    dense = I.DENSE_BOX
+    poly = [[
+        [dense[0], dense[1]], [dense[2], dense[1]], [dense[2], dense[3]],
+        [dense[0], dense[3]], [dense[0], dense[1]],
+    ]]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "polygon": [poly]}),
+        schema="poly_id long, polygon array<array<array<double>>>",
+    )
+    got = spatial.assign_images_to_polygons(images_df, polys, res=12)
+    n = got.count()
+    lon, lat = I.geotag_from_phash(images_pd["phash"].to_numpy())
+    inside = (lon >= dense[0]) & (lon <= dense[2]) & (lat >= dense[1]) & (lat <= dense[3])
+    assert n == int(inside.sum())
+    assert n > 0  # the engineered hotspot guarantees hits
+
+
+def test_decode_pixel_stats_invariants(images_df):
+    stats = multimodal.decode_pixel_stats(images_df).toPandas()
+    assert stats["decoded"].all()
+    assert stats["phash_match"].all()
+    assert np.isinf(stats["psnr_roundtrip"]).all()  # lossless whitelist
+
+
+def test_resize_roundtrip(images_df):
+    out = multimodal.resize_images(images_df.limit(6), 8, 8).toPandas()
+    from gtfs_to_geojson_spark import images as img
+
+    for _, r in out.iterrows():
+        px = img.decode(bytes(r["bytes"]), r["fmt"])
+        assert px.shape == (8, 8, 3)
+
+
+def test_multimodal_stubs_raise(spark):
+    vids = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["v1"], "bytes": [b"xx"]}),
+        schema="video_id string, bytes binary",
+    )
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.sample_video_frames(vids).collect()
+
+
+def test_skew_histogram_and_salt(spark, images_df):
+    tiled = spatial.assign_images_to_tiles(images_df, res=13)
+    hist = spatial.cell_histogram(tiled, "tile").toPandas()
+    assert hist["n_rows"].sum() == images_df.count()
+    # engineered skew: hottest cell ≫ median
+    assert hist["n_rows"].max() >= 3 * max(1, int(hist["n_rows"].median()))
+    salted = spatial.salted(tiled, "tile", salt_factor=8, id_col="image_id")
+    ns = salted.select("_salt").distinct().count()
+    assert 1 < ns <= 8
