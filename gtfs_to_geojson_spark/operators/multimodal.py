@@ -71,6 +71,44 @@ def decode_pixel_stats(images: DataFrame) -> DataFrame:
     )
 
 
+def decode_tile_assign(images: DataFrame, res: int) -> DataFrame:
+    """J9 full-integrity raster-tile assignment: decode pixels, verify
+    the stored phash against the decoded image, re-derive the geotag
+    from the *verified* hash, and assign the tile cell — one
+    Arrow-batched pass over the binary column. This is the heavyweight
+    variant of spatial.assign_images_to_tiles (which trusts the stored
+    phash and stays JVM-side); use this one when ingesting untrusted
+    bytes. Returns (image_id, caption, tile, phash_match)."""
+    from .. import cells
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ph = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            for i, (data, fmt, stored) in enumerate(
+                zip(pdf["bytes"], pdf["fmt"], pdf["phash"])
+            ):
+                px = img.decode(bytes(data), fmt)
+                p = img.phash64(px)
+                ph[i] = p
+                ok[i] = p == int(stored)
+            lon, lat = img.geotag_from_phash(ph)
+            tile = cells.encode(lat, lon, res)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "caption": pdf["caption"],
+                    "tile": tile,
+                    "phash_match": ok,
+                }
+            )
+
+    return images.select("image_id", "caption", "bytes", "fmt", "phash").mapInPandas(
+        kernel, "image_id string, caption string, tile long, phash_match boolean"
+    )
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize, re-encoded in the same format — a real
     kernel proving the decode→transform→encode plumbing. Returns the

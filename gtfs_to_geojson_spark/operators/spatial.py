@@ -89,33 +89,84 @@ _RINGS_T = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
 
 
 def polygon_cover_udf(res: int):
-    """pandas UDF: polygon rings → covering cell array (bbox cover —
-    superset; the exact residual makes the join exact)."""
+    """pandas UDF: polygon rings → covering cells, each flagged
+    ``interior`` when the whole cell provably lies inside the polygon
+    (all four corners inside + no polygon edge's bbox overlaps the
+    cell). Interior-cell candidates skip the exact residual entirely —
+    at raster scale the overwhelming majority of candidates are
+    interior, so the Python ray cast only ever sees the boundary rim.
+    The boundary flag is conservative, so the join stays exact."""
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
+    struct_t = T.ArrayType(
+        T.StructType(
+            [T.StructField("cell", T.LongType()), T.StructField("interior", T.BooleanType())]
+        )
+    )
+
+    @F.pandas_udf(struct_t)
     def cover(rings: pd.Series) -> pd.Series:
         out = []
         for poly in rings:
-            outer = np.asarray([[p[0], p[1]] for p in poly[0]], dtype=np.float64)
-            mnx, mny, mxx, mxy = geom.bbox(outer)
-            out.append([int(c) for c in cells.cover_bbox(mnx, mny, mxx, mxy, res)])
+            rr = _parse_rings(poly)
+            mnx, mny, mxx, mxy = geom.bbox(rr[0])
+            cc = cells.cover_bbox(mnx, mny, mxx, mxy, res)
+            c_mnx, c_mny, c_mxx, c_mxy = cells.cell_bounds(cc)
+            # conservative boundary: any polygon edge bbox overlapping the cell
+            boundary = np.zeros(len(cc), dtype=bool)
+            for ring in rr:
+                a, b = ring[:-1], ring[1:]
+                e_mnx = np.minimum(a[:, 0], b[:, 0])
+                e_mxx = np.maximum(a[:, 0], b[:, 0])
+                e_mny = np.minimum(a[:, 1], b[:, 1])
+                e_mxy = np.maximum(a[:, 1], b[:, 1])
+                boundary |= np.any(
+                    (c_mnx[:, None] <= e_mxx[None, :])
+                    & (e_mnx[None, :] <= c_mxx[:, None])
+                    & (c_mny[:, None] <= e_mxy[None, :])
+                    & (e_mny[None, :] <= c_mxy[:, None]),
+                    axis=1,
+                )
+            # interior: not boundary AND all 4 corners inside (even-odd)
+            interior = ~boundary
+            if np.any(interior):
+                idx = np.nonzero(interior)[0]
+                corners_x = np.concatenate([c_mnx[idx], c_mxx[idx], c_mnx[idx], c_mxx[idx]])
+                corners_y = np.concatenate([c_mny[idx], c_mny[idx], c_mxy[idx], c_mxy[idx]])
+                ins = geom.points_in_polygon(corners_x, corners_y, rr).reshape(4, -1).all(axis=0)
+                interior[idx] = ins
+            out.append(
+                [
+                    {"cell": int(c), "interior": bool(i)}
+                    for c, i in zip(cc.tolist(), interior.tolist())
+                ]
+            )
         return pd.Series(out)
 
     return cover
 
 
+def _parse_rings(poly) -> list[np.ndarray]:
+    """Arrow hands nested lists back as object arrays — stack per ring."""
+    return [np.stack([np.asarray(p, dtype=np.float64) for p in ring]) for ring in poly]
+
+
 def pip_residual_udf():
     """pandas UDF: exact even-odd containment of (lon, lat) in Polygon
-    rings (numpy batch per Arrow chunk)."""
+    rings. Candidate rows repeat the same few polygons many times, so
+    each Arrow batch groups by the (cheap, scalar) polygon key, parses
+    the rings ONCE per group, and runs one vectorized ray cast over all
+    of that polygon's candidate points — no per-row Python."""
 
     @F.pandas_udf(T.BooleanType())
-    def pip(lon: pd.Series, lat: pd.Series, rings: pd.Series) -> pd.Series:
-        out = np.zeros(len(lon), dtype=bool)
+    def pip(lon: pd.Series, lat: pd.Series, key: pd.Series, rings: pd.Series) -> pd.Series:
         lon_v = lon.to_numpy()
         lat_v = lat.to_numpy()
-        for i, poly in enumerate(rings):
-            rr = [np.asarray([[p[0], p[1]] for p in ring], dtype=np.float64) for ring in poly]
-            out[i] = bool(geom.points_in_polygon(lon_v[i : i + 1], lat_v[i : i + 1], rr)[0])
+        out = np.zeros(len(lon_v), dtype=bool)
+        key_v = key.to_numpy()
+        for k in pd.unique(key_v):
+            ii = np.nonzero(key_v == k)[0]
+            rr = _parse_rings(rings.iloc[ii[0]])
+            out[ii] = geom.points_in_polygon(lon_v[ii], lat_v[ii], rr)
         return pd.Series(out)
 
     return pip
@@ -129,15 +180,31 @@ def point_in_polygon_join(
     lat_col: str = "lat",
     poly_col: str = "polygon",
 ) -> DataFrame:
-    """J7 — exact point-in-polygon join: explode(cover cells) equi-join,
-    then the vectorized ray-cast residual. Used for stop-in-dissolved-
-    buffer and image-in-route-polygon (J9) assignment."""
+    """J7 — exact point-in-polygon join: explode(cover cells) equi-join;
+    interior-cell candidates pass directly, boundary-cell candidates go
+    through the vectorized ray-cast residual. Used for stop-in-
+    dissolved-buffer and image-in-route-polygon (J9) assignment."""
     cov = polygon_cover_udf(res)
-    pg = polygons.withColumn("_cell", F.explode(cov(F.col(poly_col))))
+    pg = (
+        polygons.withColumn("_key", F.monotonically_increasing_id())
+        .withColumn("_cc", F.explode(cov(F.col(poly_col))))
+        .withColumn("_cell", F.col("_cc.cell"))
+        .withColumn("_interior", F.col("_cc.interior"))
+        .drop("_cc")
+    )
     pt = points.withColumn("_cell", cells.cell_col(F.col(lat_col), F.col(lon_col), res))
     joined = pt.join(pg, "_cell").drop("_cell")
+    # Python UDFs are evaluated in their own stage BEFORE a filter, so an
+    # `interior | pip()` expression would still ray-cast every candidate.
+    # Split physically: interior candidates never touch Python.
+    inside = joined.filter(F.col("_interior")).drop("_interior", "_key")
     pip = pip_residual_udf()
-    return joined.filter(pip(F.col(lon_col), F.col(lat_col), F.col(poly_col)))
+    boundary = (
+        joined.filter(~F.col("_interior"))
+        .filter(pip(F.col(lon_col), F.col(lat_col), F.col("_key"), F.col(poly_col)))
+        .drop("_interior", "_key")
+    )
+    return inside.unionByName(boundary)
 
 
 # ---------------------------------------------------------------------------
@@ -193,11 +260,13 @@ def knn_join(
 
     from pyspark.sql import Window
 
-    unresolved = p0
+    unresolved = p0.persist()
+    n_unresolved = unresolved.count()
     results: list[DataFrame] = []
+    to_unpersist = [unresolved]
     ring = 1
     for round_i in range(max_rounds):
-        if unresolved.isEmpty():
+        if n_unresolved == 0:
             break
         # candidate cells: square k-ring of radius `ring` (JVM sequence cross)
         px = F.shiftright(F.col("_pcell"), 29).bitwiseAND(F.lit((1 << 29) - 1))
@@ -233,19 +302,24 @@ def knn_join(
         guarantee = (
             F.max(F.col("_dist_m")).over(Window.partitionBy(point_key)) <= guarantee_m
         ) & (F.count(F.lit(1)).over(Window.partitionBy(point_key)) >= k)
-        resolved = topk.withColumn("_ok", guarantee).filter(F.col("_ok")).drop("_ok", "_rn")
+        resolved = (
+            topk.withColumn("_ok", guarantee).filter(F.col("_ok")).drop("_ok", "_rn").persist()
+        )
+        to_unpersist.append(resolved)
         results.append(resolved)
         done_keys = resolved.select(point_key).distinct()
-        unresolved = unresolved.join(done_keys, point_key, "left_anti")
-        ring *= 2
+        nxt = unresolved.join(done_keys, point_key, "left_anti").persist()
+        to_unpersist.append(nxt)
+        unresolved = nxt
+        n_unresolved = unresolved.count()
+        ring *= 4  # 1 → 4 → 16 cells: three density regimes, then brute force
 
-    if not unresolved.isEmpty():
-        # exact brute-force for stragglers — rare, bounded
+    if n_unresolved > 0:
+        # exact brute-force for stragglers — rare, bounded (AQE picks
+        # broadcast when the target side is small enough)
         cand = unresolved.drop("_pcell").crossJoin(t.drop("_tcell")).withColumn(
             "_dist_m", haversine_m(F.col(lat_col), F.col(lon_col), F.col(t_lat), F.col(t_lon))
         )
-        from pyspark.sql import Window
-
         w = Window.partitionBy(point_key).orderBy(F.asc("_dist_m"), F.asc(target_key))
         results.append(
             cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
@@ -254,7 +328,10 @@ def knn_join(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r.drop("_pcell"), allowMissingColumns=True)
-    return out.drop("_pcell")
+    out = out.drop("_pcell").localCheckpoint()
+    for df_ in to_unpersist:
+        df_.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -262,9 +339,53 @@ def knn_join(
 # ---------------------------------------------------------------------------
 
 
-def image_geotags(images: DataFrame) -> DataFrame:
+def geotag_cols(phash: Column) -> tuple[Column, Column]:
+    """JVM-side twin of images.geotag_from_phash: the warp is pure
+    bit/float arithmetic, so it compiles to codegen Columns — the tile
+    assignment path never leaves the JVM. Bit-exact vs the numpy
+    version (tested in test_spatial.py): same ops on IEEE doubles.
+
+    phash is signed int64; the numpy version works on its uint64 view,
+    so ``>> 32`` here must be an unsigned shift."""
+    from .. import images as img
+
+    u1 = (
+        F.shiftrightunsigned(phash, 32).bitwiseAND(F.lit(0xFFFFFFFF)).cast("double")
+        / F.lit(float(2**32))
+    )
+    u2 = phash.bitwiseAND(F.lit(0xFFFFFFFF)).cast("double") / F.lit(float(2**32))
+    bbox = img.DEFAULT_BBOX
+    dense_box = img.DENSE_BOX
+    frac = img.DENSE_FRAC
+    dense = u1 < F.lit(frac)
+    u1d = F.when(dense, u1 / F.lit(frac)).otherwise(
+        (u1 - F.lit(frac)) / F.lit(1.0 - frac)
+    )
+    lon = F.when(
+        dense, F.lit(dense_box[0]) + u1d * F.lit(dense_box[2] - dense_box[0])
+    ).otherwise(F.lit(bbox[0]) + u1d * F.lit(bbox[2] - bbox[0]))
+    lat = F.when(
+        dense, F.lit(dense_box[1]) + u2 * F.lit(dense_box[3] - dense_box[1])
+    ).otherwise(F.lit(bbox[1]) + u2 * F.lit(bbox[3] - bbox[1]))
+    return lon, lat
+
+
+def image_geotags(images: DataFrame, keep_bytes: bool = False, use_udf: bool = False) -> DataFrame:
     """phash → (lon, lat) via the deterministic warp
-    (images.geotag_from_phash), Arrow-batched."""
+    (images.geotag_from_phash), Arrow-batched.
+
+    Drops the ``bytes`` payload by default: carrying ~KB binaries
+    through the downstream spatial shuffles costs ~6× (measured at
+    400k images); join back on image_id when pixels are needed.
+
+    Default path is the JVM geotag (geotag_cols); ``use_udf=True``
+    exercises the Arrow/pandas variant (kept for parity testing and as
+    the template for warps that genuinely need Python)."""
+    src = images if (keep_bytes or "bytes" not in images.columns) else images.drop("bytes")
+    if not use_udf:
+        lon, lat = geotag_cols(F.col("phash"))
+        return src.select("*", lon.alias("lon"), lat.alias("lat"))
+
     from .. import images as img
 
     @F.pandas_udf("lon double, lat double")
@@ -272,7 +393,7 @@ def image_geotags(images: DataFrame) -> DataFrame:
         lon, lat = img.geotag_from_phash(phash.to_numpy())
         return pd.DataFrame({"lon": lon, "lat": lat})
 
-    return images.withColumn("_g", tag(F.col("phash"))).select(
+    return src.withColumn("_g", tag(F.col("phash"))).select(
         "*", F.col("_g.lon").alias("lon"), F.col("_g.lat").alias("lat")
     ).drop("_g")
 

