@@ -165,9 +165,15 @@ def main():
 
     if explain:
         os.makedirs("BENCH", exist_ok=True)
+        import contextlib
+        import io
+
         plan = spatial.point_in_envelope_join(li_points(), bench_boxes(), res=16)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan.explain("formatted")
         with open("BENCH/plan_j6.txt", "w") as f:
-            f.write(plan._jdf.queryExecution().explainString("formatted"))
+            f.write(buf.getvalue())
 
     _, t_j6 = run("j6_envelope_join", j6, best_of=reps)
 
@@ -225,8 +231,13 @@ def main():
 
     _, t_j9c = run("j9c_decode_tile_assign", j9c, best_of=reps)
 
-    headline_sec = round(t_j6 + t_j9 + t_j9b + t_j9c, 3)
-    headline_rows = n_points + 2 * N_BENCH_IMAGES * IMG_REPLICATE + n_decode
+    # headline = the BASELINE.json metric verbatim: the envelope join
+    # plus tile assignment of the image table with decoded-pixel
+    # verification (j9c). The trusted-phash JVM variants (j9/j9b) are
+    # reported as the fast path but are too cheap to carry a scaling
+    # signal (~1-3s of pure codegen — overhead-bound by design).
+    headline_sec = round(t_j6 + t_j9c, 3)
+    headline_rows = n_points + n_decode
     headline_rps = round(headline_rows / headline_sec, 1)
 
     # -------------------- secondary suite --------------------

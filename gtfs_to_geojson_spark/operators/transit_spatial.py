@@ -1,0 +1,118 @@
+"""Transit-level spatial analytics — the north-star compositions:
+GTFS feed × spatial joins × image table.
+
+These wire the generic operators (spatial.py) to the reference's data
+model: route envelopes/buffers come from the same geometry the
+envelope/buffer output formats emit (formats/envelope.ts:14,
+formats/lines-buffer.ts:12), so a join result here is checkable
+against those golden shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import cells
+from . import geoagg, relational, spatial
+from .filters import BaseQuery, filter_used_stops
+
+
+def route_envelopes(feed, q: BaseQuery) -> DataFrame:
+    """Per-route bbox (the envelope format's geometry, per route
+    instead of per agency): min/max over every shape point of the
+    route — one map-side agg, no UDF."""
+    pairs = relational.route_shape_pairs(feed["trips"], q)
+    pts = feed["shapes"].join(pairs, "shape_id")
+    return pts.groupBy("route_id").agg(
+        F.min("shape_pt_lon").alias("min_lon"),
+        F.min("shape_pt_lat").alias("min_lat"),
+        F.max("shape_pt_lon").alias("max_lon"),
+        F.max("shape_pt_lat").alias("max_lat"),
+    )
+
+
+def stops_in_route_envelopes(feed, q: BaseQuery | None = None, res: int = 15) -> DataFrame:
+    """J6 at the transit level: every (stop, route) pair where the
+    used stop falls inside the route's envelope — the headline join of
+    BASELINE.json, on real GTFS geometry."""
+    q = q or BaseQuery()
+    stops = filter_used_stops(feed["stops"], feed["stop_times"], feed["trips"], q).select(
+        "stop_id", F.col("stop_lon").alias("lon"), F.col("stop_lat").alias("lat")
+    )
+    env = route_envelopes(feed, q)
+    out = spatial.point_in_envelope_join(stops, env, res=res)
+    return out.select("stop_id", "route_id")
+
+
+def snap_stops_to_shapes(feed, q: BaseQuery | None = None, res: int = 18, k: int = 1) -> DataFrame:
+    """J8 at the transit level: nearest shape *vertex* per used stop
+    (stop→shape snapping). Exact kNN via ring expansion; distance is
+    haversine meters; ties break on shape point identity."""
+    q = q or BaseQuery()
+    stops = filter_used_stops(feed["stops"], feed["stop_times"], feed["trips"], q).select(
+        F.col("stop_id").alias("point_id"),
+        F.col("stop_lon").alias("lon"),
+        F.col("stop_lat").alias("lat"),
+    )
+    pairs = relational.route_shape_pairs(feed["trips"], q)
+    vertices = (
+        feed["shapes"]
+        .join(pairs.select("shape_id").distinct(), "shape_id", "left_semi")
+        .select(
+            F.concat_ws(":", "shape_id", F.col("shape_pt_sequence").cast("string")).alias("target_id"),
+            F.col("shape_pt_lon").alias("t_lon"),
+            F.col("shape_pt_lat").alias("t_lat"),
+        )
+    )
+    out = spatial.knn_join(stops, vertices, res=res, k=k)
+    return out.select(
+        F.col("point_id").alias("stop_id"),
+        F.split(F.col("target_id"), ":").getItem(0).alias("shape_id"),
+        F.split(F.col("target_id"), ":").getItem(1).cast("int").alias("shape_pt_sequence"),
+        F.round(F.col("_dist_m"), 3).alias("dist_m"),
+    )
+
+
+def route_buffer_polygons(feed, q: BaseQuery | None = None, meters: float = 400.0) -> DataFrame:
+    """Per-route buffer polygon (the lines-buffer format's geometry) as
+    a join-ready (route_id, polygon) frame."""
+    from ..plans.run_spec import RunSpec
+
+    q = q or BaseQuery()
+    from .formats import _route_lines_coords
+
+    cfg = RunSpec(buffer_size_meters=meters)
+    lines = _route_lines_coords(feed, cfg, q)
+    buf = geoagg.line_buffer_polygons(lines, meters, ["route_id"])
+    return buf.select("route_id", "polygon")
+
+
+def assign_images_to_routes(
+    images: DataFrame, feed, q: BaseQuery | None = None, meters: float = 400.0, res: int = 18
+) -> DataFrame:
+    """J9b at the transit level: geotagged images assigned to the
+    route buffers they fall in — caption carried through untouched.
+    The 10^12-scale path: route buffers are the small side (thousands
+    of polygons), images the big side; cell cover turns it into a hash
+    join with an interior fast path."""
+    polys = route_buffer_polygons(feed, q, meters)
+    out = spatial.assign_images_to_polygons(images, polys, res=res)
+    # a route can carry several buffer polygons (one per shape line) —
+    # assignment is per (image, route), so dedupe across them
+    return out.select("image_id", "caption", "route_id", "lon", "lat").dropDuplicates(
+        ["image_id", "route_id"]
+    )
+
+
+def image_density_per_route_cell(
+    images: DataFrame, feed, q: BaseQuery | None = None, meters: float = 400.0,
+    res: int = 18, rollup_res: int = 12,
+) -> DataFrame:
+    """Hypertable-style rollup: per (route, coarse cell) image counts —
+    assignment at fine res, then a parent-cell rollup that is just a
+    bit-shift Column (cells.parent_col), no re-join."""
+    assigned = assign_images_to_routes(images, feed, q, meters, res)
+    tile = cells.cell_col(F.col("lat"), F.col("lon"), res)
+    out = assigned.withColumn("cell", cells.parent_col(tile, res, rollup_res))
+    return out.groupBy("route_id", "cell").agg(F.count(F.lit(1)).alias("n_images"))
