@@ -1,0 +1,80 @@
+"""S3 projection override + streaming tile assignment."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_tmerc_roundtrip():
+    from gtfs_to_geojson_spark.sources.reproject import tmerc_forward, tmerc_inverse
+
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-125, -120, 500)
+    lat = rng.uniform(35, 40, 500)
+    x, y = tmerc_forward(lon, lat, lon0_deg=-123.0)
+    lon2, lat2 = tmerc_inverse(x, y, lon0_deg=-123.0)
+    assert np.allclose(lon, lon2, atol=1e-9)
+    assert np.allclose(lat, lat2, atol=1e-9)
+
+
+def test_reproject_feed_utm(spark, feed_pd):
+    from gtfs_to_geojson_spark.sources.gtfs import feed_from_pandas
+    from gtfs_to_geojson_spark.sources.reproject import reproject_feed, tmerc_forward
+
+    # project the fixture's stops into UTM zone 10 and store those as coords
+    frames = {k: v.copy() for k, v in feed_pd.items()}
+    x, y = tmerc_forward(
+        frames["stops"]["stop_lon"].to_numpy(),
+        frames["stops"]["stop_lat"].to_numpy(),
+        lon0_deg=-123.0, k0=0.9996, false_easting=500_000.0,
+    )
+    orig_lon = frames["stops"]["stop_lon"].to_numpy().copy()
+    frames["stops"]["stop_lon"] = x
+    frames["stops"]["stop_lat"] = y
+    feed2 = feed_from_pandas(spark, frames)
+    fixed = reproject_feed(feed2, "+proj=utm +zone=10")
+    got = fixed["stops"].orderBy("stop_id").toPandas()
+    want = feed_pd["stops"].sort_values("stop_id")
+    assert np.allclose(got["stop_lon"].to_numpy(), want["stop_lon"].to_numpy(), atol=1e-8)
+    assert np.allclose(got["stop_lat"].to_numpy(), want["stop_lat"].to_numpy(), atol=1e-8)
+    assert not np.allclose(x[:5], orig_lon[:5])  # sanity: coords really were projected
+
+
+def test_reproject_unknown_raises(spark, feed):
+    from gtfs_to_geojson_spark.sources.reproject import reproject_feed
+
+    with pytest.raises(NotImplementedError):
+        reproject_feed(feed, "+proj=lcc +lat_1=33")
+
+
+def test_streaming_tile_assignment_resumes(spark, images_pd, tmp_path):
+    """File-arrival streaming: drop 1 → process 1; drop 2 more →
+    restart processes ONLY the new files (checkpointed source log —
+    the streaming twin of the lineage manifest)."""
+    from gtfs_to_geojson_spark.streaming.stream_assign import run_stream_to_parquet
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    os.makedirs(in_dir)
+    third = len(images_pd) // 3
+    images_pd.iloc[:third].to_parquet(in_dir / "drop1.parquet", index=False)
+
+    q = run_stream_to_parquet(spark, str(in_dir), str(out_dir), str(ckpt), timeout_s=120)
+    q.stop()
+    n1 = spark.read.parquet(str(out_dir)).count()
+    assert n1 == third
+
+    images_pd.iloc[third : 2 * third].to_parquet(in_dir / "drop2.parquet", index=False)
+    images_pd.iloc[2 * third :].to_parquet(in_dir / "drop3.parquet", index=False)
+    q2 = run_stream_to_parquet(spark, str(in_dir), str(out_dir), str(ckpt), timeout_s=120)
+    q2.stop()
+    out = spark.read.parquet(str(out_dir))
+    assert out.count() == len(images_pd)  # no duplicates from reprocessing
+    assert out.select("image_id").distinct().count() == len(images_pd)
+    # assignments match the batch path
+    from gtfs_to_geojson_spark import cells, images as I
+
+    got = out.select("image_id", "tile").toPandas().set_index("image_id").loc[images_pd["image_id"]]
+    lon, lat = I.geotag_from_phash(images_pd["phash"].to_numpy())
+    assert np.array_equal(got["tile"].to_numpy(), cells.encode(lat, lon, 14))
