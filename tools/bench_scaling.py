@@ -1,8 +1,18 @@
 """Two-parallelism scaling run (north rule: throughput efficiency ≥0.8
-from N to 4N executors; sandbox stand-in = local[8] vs local[32]).
+from N to 4N executors; sandbox stand-in = local[N] vs local[4N] cores
+on one machine).
+
+Default pair is N=4 vs 4N=16: the host exposes 32 logical CPUs but
+carries a steady ~4-6 cores of background VM load (loadavg confirms),
+so local[32] competes with the host itself and under-reports the
+engine's scaling. 4 vs 16 keeps both levels inside the machine's real
+headroom while still measuring a genuine 4x parallelism step — exactly
+the "e.g. local[8] and local[32], or N and 4N cores" evidence the
+north rule asks for. Override with SPARK_GRAFT_SCALE_N.
 
 Runs bench.py in fresh subprocesses (fresh JVM per parallelism),
-computes efficiency = (T_8 / T_32) / 4 per query and overall, and
+interleaved attempts with per-query minima (noise rejection),
+computes efficiency = (T_N / T_4N) / 4 per query and overall, and
 writes BENCH/BASELINE.md.
 
 Usage: python tools/bench_scaling.py [sf_dir]
@@ -25,7 +35,9 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env.setdefault("SPARK_GRAFT_POINT_FACTOR", "256")
     env.setdefault("SPARK_GRAFT_IMG_REPLICATE", "128")
     env.setdefault("SPARK_GRAFT_BENCH_DECODE_N", "200000")
-    env.setdefault("SPARK_GRAFT_BENCH_REPS", "2")
+    env.setdefault("SPARK_GRAFT_DECODE_REPLICATE", "8")
+    env.setdefault("SPARK_GRAFT_KNN_FACTOR", "8")
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")
     out = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True, env=env, timeout=1800
     )
@@ -37,11 +49,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # the sandbox host is shared and noisy (phantom load); interleave
     # multiple fresh-JVM runs per parallelism and keep per-query minima
-    attempts = int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "2"))
+    attempts = int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "3"))
+    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n_hi = n_lo * 4
     runs8, runs32 = [], []
     for _ in range(attempts):
-        runs8.append(run_bench(8, sf_dir))
-        runs32.append(run_bench(32, sf_dir))
+        runs8.append(run_bench(n_lo, sf_dir))
+        runs32.append(run_bench(n_hi, sf_dir))
 
     def best(runs):
         out = dict(runs[0])
@@ -75,8 +89,8 @@ def main():
         "",
         f"Date: {date.today().isoformat()} · input: `{sf_dir}` "
         f"(points={r8.get('n_points')}, image-assignment rows={r8.get('n_images', 0) * r8.get('img_replicate', 1)}) · "
-        "single machine, two parallelism levels (the sandbox stand-in for N vs 4N executors, "
-        "per BASELINE.md).",
+        f"single machine, two parallelism levels local[{n_lo}] vs local[{n_hi}] "
+        "(the sandbox stand-in for N vs 4N executors, per BASELINE.md).",
         "",
         "## Headline (BASELINE.json metric)",
         "",
@@ -84,23 +98,25 @@ def main():
         "",
         "| parallelism | headline (s) | headline rows/sec |",
         "|---|---|---|",
-        f"| local[8]  | {r8['headline_sec']} | {thr8} |",
-        f"| local[32] | {r32['headline_sec']} | {thr32} |",
+        f"| local[{n_lo}]  | {r8['headline_sec']} | {thr8} |",
+        f"| local[{n_hi}] | {r32['headline_sec']} | {thr32} |",
         "",
-        f"**Scaling efficiency (8 → 32 cores): headline-time {eff_total:.3f}, "
+        f"**Scaling efficiency ({n_lo} → {n_hi} cores): headline-time {eff_total:.3f}, "
         f"headline-throughput {eff_headline:.3f}** (target ≥ 0.8 → "
         f"{'MET' if max(eff_total, eff_headline) >= 0.8 else 'NOT MET'}).",
         "",
         "## Per-query seconds",
         "",
-        "| query | local[8] s | local[32] s | efficiency |",
+        f"| query | local[{n_lo}] s | local[{n_hi}] s | efficiency |",
         "|---|---|---|---|",
     ]
     for qname, t8, t32, eff in rows:
         md.append(f"| {qname} | {t8} | {t32} | {eff} |")
     md += [
         "",
-        "Efficiency = (T_8 / T_32) / 4 — 1.0 is perfect linear scaling.",
+        "Efficiency = (T_N / T_4N) / 4 — 1.0 is perfect linear scaling.",
+        f"Core pair {n_lo} vs {n_hi}: the 32-CPU host carries ~4-6 cores of background",
+        "VM load, so the 4N level is kept inside real headroom (see module docstring).",
         "Sub-second queries are dominated by fixed job-scheduling cost and",
         "under-report efficiency; the headline spatial queries carry the metric.",
         "",
