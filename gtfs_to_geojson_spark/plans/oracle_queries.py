@@ -762,3 +762,360 @@ def all_queries():
 
 def all_oracle_sql():
     return {name: sql for name, (fn, sql) in _QUERIES.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# coverage round 2: J7, A2, A8, A9, J4, G1 with SQL oracles;
+# O2/G2/G3/A3 as rows-only geometry-kernel checks
+# ---------------------------------------------------------------------------
+
+
+def supplier_octagons(spark, sf_dir):
+    """Convex octagon per supplier with *rational-arithmetic* vertices
+    (no trig — bit-identical in Spark and DuckDB). Same centers/extents
+    as supplier_boxes; corners cut at half-extent, so containment is
+    exactly {|dx|<=w, |dy|<=h, |dx|/w+|dy|/h<=1.5}."""
+    s = _t(spark, sf_dir, "supplier")
+    cx = lon_col(F.col("s_suppkey") * 13 + 7)
+    cy = lat_col(F.col("s_suppkey") * 11 + 5)
+    w = ((F.col("s_suppkey") % 13) + 2).cast("double") * F.lit(0.004)
+    h = ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.003)
+    w2, h2 = w * 0.5, h * 0.5
+
+    def pt(x, y):
+        return F.array(x, y)
+
+    ring = F.array(
+        pt(cx + w, cy - h2), pt(cx + w, cy + h2), pt(cx + w2, cy + h),
+        pt(cx - w2, cy + h), pt(cx - w, cy + h2), pt(cx - w, cy - h2),
+        pt(cx - w2, cy - h), pt(cx + w2, cy - h), pt(cx + w, cy - h2),
+    )
+    return s.select("s_suppkey", F.array(ring).alias("polygon"))
+
+
+# ---- J7: exact point-in-polygon join (cell cover + ray-cast residual) ----
+@q(
+    "j7_point_in_polygon",
+    f"""
+WITH polys AS (
+  SELECT s_suppkey,
+         {lon_sql('(s_suppkey * 13 + 7)')} AS cx,
+         {lat_sql('(s_suppkey * 11 + 5)')} AS cy,
+         CAST((s_suppkey % 13) + 2 AS DOUBLE) * 0.004 AS w,
+         CAST((s_suppkey % 7) + 2 AS DOUBLE) * 0.003 AS h
+  FROM supplier
+)
+SELECT c_custkey AS custkey, s_suppkey AS suppkey
+FROM ({CUSTOMER_POINTS_SQL}) p JOIN polys b
+  ON abs(p.lon - b.cx) <= b.w
+ AND abs(p.lat - b.cy) <= b.h
+ AND abs(p.lon - b.cx) / b.w + abs(p.lat - b.cy) / b.h <= 1.5
+""",
+)
+def j7_point_in_polygon(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    polys = supplier_octagons(spark, sf_dir)
+    joined = spatial.point_in_polygon_join(pts, polys, res=CELL_RES)
+    return joined.select(F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey"))
+
+
+# ---- A2: distributed convex hull; oracle = n^3 hull-vertex characterization ----
+@q(
+    "a2_convex_hull",
+    f"""
+WITH pts AS (
+  SELECT c_custkey,
+         lon + CAST((c_custkey * c_custkey * 7919) % 997 AS DOUBLE) / 1e10 AS lon,
+         lat + CAST((c_custkey * c_custkey * 6271) % 991 AS DOUBLE) / 1e10 AS lat
+  FROM ({CUSTOMER_POINTS_SQL}) WHERE c_custkey <= 300
+)
+SELECT DISTINCT p.c_custkey AS custkey
+FROM pts p JOIN pts q ON q.c_custkey <> p.c_custkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts r
+  WHERE (q.lon - p.lon) * (r.lat - p.lat) - (q.lat - p.lat) * (r.lon - p.lon) < 0
+)
+""",
+)
+def a2_convex_hull(spark, sf_dir):
+    """Engine hull (partial monotone chain per batch + final merge);
+    hull vertex coords are input coords verbatim, so mapping back to
+    custkey by exact double equality is lossless. The oracle is the
+    independent O(n^3) characterization: p is a hull vertex iff some
+    directed edge p->q has every point on its left.
+
+    The base derivation is a rational lattice, which produces exactly
+    collinear triples — the SQL characterization keeps an on-edge
+    point, Andrew's monotone chain (correctly) drops it. A key-squared
+    jitter at 1e-10 deg puts the points in general position (identical
+    integer arithmetic both engines)."""
+    from ..operators import geoagg
+
+    base = customer_points(spark, sf_dir).filter(F.col("c_custkey") <= 300)
+    k = F.col("c_custkey")
+    pts = base.select(
+        "c_custkey",
+        (F.col("lon") + ((k * k * 7919) % 997).cast("double") / F.lit(1e10)).alias("lon"),
+        (F.col("lat") + ((k * k * 6271) % 991).cast("double") / F.lit(1e10)).alias("lat"),
+    )
+    hull = geoagg.convex_hull_agg(pts, lon_col="lon", lat_col="lat")
+    if hull is None:
+        return pts.select(F.col("c_custkey").alias("custkey")).limit(0)
+    verts = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in hull[:-1]], schema="hlon double, hlat double"
+    )
+    return (
+        pts.join(broadcast(verts), (F.col("lon") == F.col("hlon")) & (F.col("lat") == F.col("hlat")))
+        .select(F.col("c_custkey").alias("custkey"))
+        .distinct()
+    )
+
+
+# ---- A8/O1: window-ordered LineString assembly, verified point-by-point ----
+@q(
+    "a8_linestring_assembly",
+    f"""
+SELECT l_orderkey AS shape_key,
+       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, lon, lat) - 1 AS BIGINT) AS pos,
+       lon, lat
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         {lon_sql('(l_orderkey * 29 + l_linenumber * 3)')} AS lon,
+         {lat_sql('(l_orderkey * 29 + l_linenumber * 3)')} AS lat
+  FROM lineitem
+)
+""",
+)
+def a8_linestring_assembly(spark, sf_dir):
+    """Engine A8 operator (relational.shape_linestrings: sort_array of
+    struct(seq, coord) — no wide sort), then posexplode back to rows so
+    the oracle can pin every coordinate's position."""
+    from ..operators import relational
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 29 + F.col("l_linenumber") * 3
+    shapes = li.select(
+        F.col("l_orderkey").alias("shape_id"),
+        F.col("l_linenumber").alias("shape_pt_sequence"),
+        lon_col(key).alias("shape_pt_lon"),
+        lat_col(key).alias("shape_pt_lat"),
+    )
+    ls = relational.shape_linestrings(shapes)
+    return ls.select(
+        F.col("shape_id").alias("shape_key"),
+        F.posexplode("coordinates").alias("pos", "coord"),
+    ).select(
+        "shape_key",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("coord")[0].alias("lon"),
+        F.col("coord")[1].alias("lat"),
+    )
+
+
+# ---- A9: MultiLineString per route (two-level ordered assembly) ----
+@q(
+    "a9_multilinestring",
+    """
+SELECT o_custkey AS custkey,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+""",
+)
+def a9_multilinestring(spark, sf_dir):
+    """Second-level assembly: per-shape LineStrings (A8) collected into
+    one MultiLineString per route analog (custkey), sorted by shape key
+    for determinism — the structure sizes are the verifiable surface."""
+    from ..operators import relational
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("l_orderkey") * 29 + F.col("l_linenumber") * 3
+    shapes = li.select(
+        F.col("l_orderkey").alias("shape_id"),
+        F.col("l_linenumber").alias("shape_pt_sequence"),
+        lon_col(key).alias("shape_pt_lon"),
+        lat_col(key).alias("shape_pt_lat"),
+    )
+    ls = relational.shape_linestrings(shapes)
+    per_route = (
+        ls.join(broadcast(o.select(F.col("o_orderkey").alias("shape_id"), "o_custkey")), "shape_id")
+        .groupBy("o_custkey")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("shape_id"), F.col("coordinates").alias("c")))),
+                lambda x: x["c"],
+            ).alias("multiline")
+        )
+    )
+    return per_route.select(
+        F.col("o_custkey").alias("custkey"),
+        F.size("multiline").cast("long").alias("n_lines"),
+        F.size(F.flatten("multiline")).cast("long").alias("n_points"),
+    )
+
+
+# ---- J4: position-preserving ordered id-list lookup ----
+@q(
+    "j4_ordered_lookup",
+    """
+SELECT l_orderkey AS orderkey,
+       string_agg(p_name, '|' ORDER BY l_linenumber, l_partkey) AS name_chain
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_orderkey
+""",
+)
+def j4_ordered_lookup(spark, sf_dir):
+    """orderedStopIds.map(id => stops.find(...)) analog
+    (geojson-utils.ts:235-237): assemble the ordered id list, posexplode,
+    equi-join the dimension, re-assemble by position."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ordered = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("l_linenumber").alias("n"), F.col("l_partkey").alias("pk")))
+            ),
+            lambda x: x["pk"],
+        ).alias("pks")
+    )
+    pe = ordered.select("l_orderkey", F.posexplode("pks").alias("pos", "p_partkey"))
+    looked = pe.join(broadcast(part.select("p_partkey", "p_name")), "p_partkey")
+    return looked.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("p_name").alias("nm")))),
+                lambda x: x["nm"],
+            ),
+        ).alias("name_chain")
+    )
+
+
+# ---- G1: coordinate rounding at precision ----
+@q(
+    "g1_round_coords",
+    f"""
+SELECT c_custkey AS custkey,
+       floor({lon_sql('c_custkey')} * 100000 + 0.5) / 100000 AS lon5,
+       floor({lat_sql('c_custkey')} * 100000 + 0.5) / 100000 AS lat5
+FROM customer
+""",
+)
+def g1_round_coords(spark, sf_dir):
+    """G1 coordinate truncation with the reference's exact semantic:
+    turf truncate uses JS Math.round = floor(x*10^p + 0.5)/10^p (half
+    toward +inf). floor/multiply/add are bit-deterministic doubles in
+    both engines, unlike engine-native round() whose tie-handling
+    differs (Spark BigDecimal HALF_UP vs DuckDB float rounding) on the
+    exact decimal ties this lattice derivation produces."""
+    pts = customer_points(spark, sf_dir)
+    p10 = F.lit(100000.0)
+    return pts.select(
+        F.col("c_custkey").alias("custkey"),
+        (F.floor(F.col("lon") * p10 + F.lit(0.5)) / p10).alias("lon5"),
+        (F.floor(F.col("lat") * p10 + F.lit(0.5)) / p10).alias("lat5"),
+    )
+
+
+# ---- rows-only kernel checks (non-SQL-expressible geometry) ----
+
+
+def o2_toposort_rowsonly(spark, sf_dir):
+    """O2 — deterministic Kahn toposort of a stop graph synthesized
+    from lineitem (route = custkey band, trip = order, stop = part),
+    cycle fallback to the longest trip. Emits (route_key, pos, stop_key)."""
+    import pandas as pd  # noqa: F811
+
+    from ..operators.relational import _toposort_stop_order
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    st = (
+        li.join(o.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey")
+        .filter(F.col("o_custkey") <= 60)
+        .select(
+            (F.col("o_custkey") % 20).alias("route_key"),
+            F.col("l_orderkey").cast("string").alias("trip_id"),
+            F.col("l_linenumber").alias("stop_sequence"),
+            F.col("l_partkey").cast("string").alias("stop_id"),
+        )
+    )
+
+    def kernel(key, pdf):
+        order = _toposort_stop_order(pdf)
+        return pd.DataFrame(
+            {"route_key": key[0], "pos": range(len(order)), "stop_key": order}
+        )
+
+    return st.groupBy("route_key").applyInPandas(
+        kernel, "route_key long, pos long, stop_key string"
+    )
+
+
+def g3_buffer_rowsonly(spark, sf_dir):
+    """G3 — geodesic point-buffer n-gon (pure Column, no Python):
+    ring vertices for supplier points at 400 m."""
+    from ..operators import geoagg
+
+    s = supplier_points(spark, sf_dir)
+    ring = geoagg.stop_buffer_ring_col(F.col("t_lat"), F.col("t_lon"), 400.0, steps=32)
+    return s.select("s_suppkey", F.posexplode(ring).alias("pos", "vertex")).select(
+        "s_suppkey",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("vertex")[0], 6).alias("v_lon"),
+        F.round(F.col("vertex")[1], 6).alias("v_lat"),
+    )
+
+
+def g2_simplify_rowsonly(spark, sf_dir):
+    """G2 — RDP simplify (numpy kernel in pandas UDF) over assembled
+    per-order lines; emits per-line input/output vertex counts."""
+    from ..operators import geoagg, relational
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 29 + F.col("l_linenumber") * 3
+    shapes = li.select(
+        F.col("l_orderkey").alias("shape_id"),
+        F.col("l_linenumber").alias("shape_pt_sequence"),
+        lon_col(key).alias("shape_pt_lon"),
+        lat_col(key).alias("shape_pt_lat"),
+    )
+    ls = relational.shape_linestrings(shapes)
+    simp = geoagg.simplify_lines_udf(precision=3)
+    return ls.select(
+        F.col("shape_id").alias("shape_key"),
+        F.size("coordinates").cast("long").alias("n_in"),
+        F.size(simp(F.col("coordinates"))).cast("long").alias("n_out"),
+    )
+
+
+def a3_dissolve_rowsonly(spark, sf_dir):
+    """A3/G5 — distributed buffer-union dissolve over supplier-point
+    buffers (per-cell union kernel + tree merge); emits one row per
+    dissolved outer ring with its vertex count."""
+    from ..operators import geoagg
+
+    s = supplier_points(spark, sf_dir).filter(F.col("s_suppkey") <= 40)
+    ring = geoagg.stop_buffer_ring_col(F.col("t_lat"), F.col("t_lon"), 400.0, steps=16)
+    polys = s.select(F.array(ring).alias("polygon"))
+    parts = geoagg.dissolve_polygons(polys, poly_col="polygon", cell_res=10)
+    rows = [
+        (pi, ri, len(ring_))
+        for pi, poly in enumerate(parts)
+        for ri, ring_ in enumerate(poly)
+    ]
+    if not rows:
+        return s.select(F.lit(0).alias("poly_idx"), F.lit(0).alias("ring_idx"), F.lit(0).alias("n_vertices")).limit(0)
+    return spark.createDataFrame(rows, schema="poly_idx long, ring_idx long, n_vertices long")
+
+
+_ROWS_ONLY.update(
+    {
+        "o2_toposort": o2_toposort_rowsonly,
+        "g3_point_buffer": g3_buffer_rowsonly,
+        "g2_simplify_rdp": g2_simplify_rowsonly,
+        "a3_dissolve": a3_dissolve_rowsonly,
+    }
+)
