@@ -264,7 +264,32 @@ def knn_join(
     n_unresolved = unresolved.count()
     results: list[DataFrame] = []
     to_unpersist = [unresolved]
+
+    # Density-adaptive initial ring: starting at ring 1 when targets
+    # are sparse burns 2-3 full join+window rounds before the
+    # guarantee radius reaches the typical NN distance. One cheap agg
+    # over the (small) target side estimates targets-per-cell d; pick
+    # the smallest ring with (2r+1)^2 * d >= 8k so the k-th candidate
+    # is well inside the guarantee radius for most points. Exactness
+    # is unaffected — the ring only seeds the escalation loop.
+    t_stats = t.agg(
+        F.min(t_lon), F.max(t_lon), F.min(t_lat), F.max(t_lat), F.count(F.lit(1))
+    ).first()
     ring = 1
+    n_targets = t_stats[4]
+    if n_targets:
+        cell_w_deg = 360.0 / (2 * n)
+        cell_h_deg = 180.0 / n
+        span_x = max(float(t_stats[1] - t_stats[0]), cell_w_deg)
+        span_y = max(float(t_stats[3] - t_stats[2]), cell_h_deg)
+        occ_cells = max(1.0, (span_x / cell_w_deg) * (span_y / cell_h_deg))
+        d = n_targets / occ_cells
+        import math
+
+        ring = max(1, math.ceil((math.sqrt(8.0 * k / d) - 1.0) / 2.0))
+        # never start wider than the occupied region itself
+        ring = min(ring, max(1, int(math.sqrt(occ_cells))))
+
     for round_i in range(max_rounds):
         if n_unresolved == 0:
             break
