@@ -63,8 +63,15 @@ def main():
     from gtfs_to_geojson_spark.operators import spatial
     from gtfs_to_geojson_spark.streaming.lineage import LineageManifest, run_bucketed
 
+    from gtfs_to_geojson_spark.sources.images import read_images
+
     t0 = time.time()
-    images = spark.read.parquet(args.images)
+    try:
+        # input_hint schema contract (Iceberg table name or parquet path)
+        images = read_images(spark, args.images)
+    except ValueError:
+        # tolerate pre-projected tables (e.g. phash-only benches)
+        images = spark.read.parquet(args.images)
     tagged = spatial.assign_images_to_tiles(images, res=args.res)
     work = tagged.withColumn(
         "bucket", cells.parent_col(F.col("tile"), args.res, args.bucket_res)
