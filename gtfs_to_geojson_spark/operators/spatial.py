@@ -456,3 +456,33 @@ def cell_histogram(df: DataFrame, cell_col_name: str = "tile") -> DataFrame:
     """Pre-pass cell histogram — drives per-cell salt factors
     (SURVEY.md §4 skew plan) and feeds lineage metrics."""
     return df.groupBy(cell_col_name).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def salted_adaptive(
+    df: DataFrame,
+    cell_col_name: str,
+    id_col: str,
+    target_rows_per_group: int = 100_000,
+) -> DataFrame:
+    """Histogram-driven salting: one pre-pass count per cell sets that
+    cell's salt factor to ceil(n/target), so ONLY hot cells split
+    (cold cells keep factor 1 — no extra groups, no extra final-merge
+    work). The factor table is tiny (≤ distinct cells) and broadcast.
+
+    Use as the grouping key for two-phase grouped-map aggregation:
+    ``groupBy(cell, _salt)`` partials → ``groupBy(cell)`` final —
+    the same partial+final shape as A2/A3, sized by real data instead
+    of a guessed constant. AQE skew-join handles join-side skew at
+    runtime; this handles grouped-map skew, which AQE cannot split."""
+    factors = (
+        cell_histogram(df, cell_col_name)
+        .select(
+            cell_col_name,
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n_rows") / F.lit(target_rows_per_group))
+            ).cast("int").alias("_salt_factor"),
+        )
+    )
+    return df.join(broadcast(factors), cell_col_name).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("_salt_factor"))
+    ).drop("_salt_factor")

@@ -34,6 +34,64 @@ def stream_tile_assignments(spark: SparkSession, input_dir: str, res: int = 14) 
     return assign_images_to_tiles(stream_images(spark, input_dir), res=res)
 
 
+def stream_windowed_tile_counts(
+    spark: SparkSession,
+    input_dir: str,
+    res: int = 14,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked windowed aggregation over the stream: images per
+    (tile, event-time window). Event time is derived deterministically
+    from the image id (no wall clock — reproducible across runs), so
+    late data is simulated by id-order vs time-order divergence. With
+    append output the sink emits a window only once the watermark
+    passes its end — the state-cleanup contract that makes unbounded
+    streams bounded-memory."""
+    tagged = stream_tile_assignments(spark, input_dir, res)
+    ev = tagged.withColumn(
+        "event_time",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("image_id"), F.lit(86400))
+        ),
+    )
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "tile")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "tile",
+            "n_images",
+        )
+    )
+
+
+def run_windowed_counts_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    res: int = 14,
+    timeout_s: float | None = None,
+):
+    """Append-mode windowed sink: only watermark-closed windows are
+    emitted; restart resumes from the checkpoint's state store."""
+    counts = stream_windowed_tile_counts(spark, input_dir, res)
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout_s is not None:
+        q.awaitTermination(timeout_s)
+    return q
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     input_dir: str,

@@ -78,3 +78,75 @@ def test_streaming_tile_assignment_resumes(spark, images_pd, tmp_path):
     got = out.select("image_id", "tile").toPandas().set_index("image_id").loc[images_pd["image_id"]]
     lon, lat = I.geotag_from_phash(images_pd["phash"].to_numpy())
     assert np.array_equal(got["tile"].to_numpy(), cells.encode(lat, lon, 14))
+
+
+def test_streaming_windowed_counts_watermark(spark, images_pd, tmp_path):
+    """Watermarked windowed agg in append mode: only windows the
+    watermark has passed are emitted, and their counts equal a batch
+    recomputation over the same files."""
+    from pyspark.sql import functions as F
+
+    from gtfs_to_geojson_spark.operators.spatial import assign_images_to_tiles
+    from gtfs_to_geojson_spark.streaming.stream_assign import (
+        run_windowed_counts_to_parquet,
+    )
+
+    in_dir = tmp_path / "win_in"
+    out_dir = tmp_path / "win_out"
+    ckpt = tmp_path / "win_ckpt"
+    in_dir.mkdir()
+    images_pd.to_parquet(str(in_dir / "drop1.parquet"), index=False)
+
+    q = run_windowed_counts_to_parquet(
+        spark, str(in_dir), str(out_dir), str(ckpt), res=13, timeout_s=120
+    )
+    q.stop()
+    got = spark.read.parquet(str(out_dir)).toPandas()
+    assert len(got) > 0
+    # append emits only watermark-closed windows
+    batch = assign_images_to_tiles(spark.createDataFrame(images_pd), res=13)
+    ev = batch.withColumn(
+        "event_time",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("image_id"), F.lit(86400))
+        ),
+    )
+    expected = (
+        ev.groupBy(F.window("event_time", "10 minutes").alias("w"), "tile")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "tile",
+            "n_images",
+        )
+        .toPandas()
+    )
+    key = ["win_start", "win_end", "tile"]
+    merged = got.merge(expected, on=key, suffixes=("_s", "_b"), how="left")
+    assert (merged["n_images_s"] == merged["n_images_b"]).all()
+    # emitted set is a watermark-bounded prefix of the batch windows
+    assert len(got) <= len(expected)
+
+
+def test_salted_adaptive_splits_only_hot_cells(spark, images_df):
+    from gtfs_to_geojson_spark.operators import spatial
+
+    tiled = spatial.assign_images_to_tiles(images_df, res=13)
+    n = tiled.count()
+    target = 20
+    salted = spatial.salted_adaptive(tiled, "tile", id_col="image_id", target_rows_per_group=target)
+    assert salted.count() == n  # no row loss
+    groups = salted.groupBy("tile", "_salt").count().toPandas()
+    hist = spatial.cell_histogram(tiled, "tile").toPandas().set_index("tile")["n_rows"]
+    import math
+
+    for tile, sub in groups.groupby("tile"):
+        want_factor = max(1, math.ceil(hist.loc[tile] / target))
+        assert sub["_salt"].nunique() <= want_factor
+        if hist.loc[tile] <= target:
+            # cold cells stay unsplit
+            assert sub["_salt"].nunique() == 1
+    # the hot cell really did split
+    hot_tile = hist.idxmax()
+    assert groups[groups["tile"] == hot_tile]["_salt"].nunique() > 1
