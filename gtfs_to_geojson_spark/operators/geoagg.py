@@ -168,7 +168,12 @@ def _spark_type_of(df: DataFrame, col: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def dissolve_polygons(polys: DataFrame, poly_col: str = "polygon", cell_res: int | None = None) -> list[list[list[list[float]]]]:
+def dissolve_polygons(
+    polys: DataFrame,
+    poly_col: str = "polygon",
+    cell_res: int | None = None,
+    salt_target_rows: int | None = 5000,
+) -> list[list[list[list[float]]]]:
     """Union all Polygon rows into MultiPolygon parts.
 
     Scale path (SURVEY.md A3): group rings by the grid cell of their
@@ -180,6 +185,11 @@ def dissolve_polygons(polys: DataFrame, poly_col: str = "polygon", cell_res: int
 
     Returns python-list MultiPolygon coordinates: list of polygons,
     each a list of rings (outer CCW first, holes after).
+
+    ``salt_target_rows``: when any cell holds more polygons than this,
+    that cell's union runs as salted partials first (per (cell, salt))
+    before the per-cell merge — grouped-map skew handling; None
+    disables. Union associativity keeps the result exact.
     """
     n = polys.count()
     if n == 0:
@@ -203,7 +213,7 @@ def dissolve_polygons(polys: DataFrame, poly_col: str = "polygon", cell_res: int
     cy = F.expr(f"aggregate({poly_col}[0], cast(0.0 as double), (a, c) -> a + c[1]) / size({poly_col}[0])")
     with_cell = polys.select(poly_col).withColumn("cell", cells.cell_col(cy, cx, cell_res))
 
-    def union_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _union_pdf(pdf: pd.DataFrame) -> list:
         rings: list[np.ndarray] = []
         for poly in pdf[poly_col]:
             for ring in poly:
@@ -214,11 +224,46 @@ def dissolve_polygons(polys: DataFrame, poly_col: str = "polygon", cell_res: int
         for comp in geom.connected_components(rings):
             part, _ok = geom.union_or_parts([rings[i] for i in comp])
             merged.extend(part)
-        return pd.DataFrame({poly_col: [[r.tolist() for r in merged]]})
+        return [r.tolist() for r in merged]
 
-    cell_results = with_cell.groupBy("cell").applyInPandas(
-        union_kernel, f"{poly_col} array<array<array<double>>>"
-    ).collect()
+    def union_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({poly_col: [_union_pdf(pdf)]})
+
+    def union_kernel_keyed(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # keeps the cell key for the second (per-cell) merge level
+        return pd.DataFrame({"cell": [key[0]], poly_col: [_union_pdf(pdf)]})
+
+    # grouped-map skew (SURVEY §7 hard part 4): the union kernel is
+    # superlinear in rings-per-group, so one mega-city cell dominates
+    # the stage. When any cell exceeds the salt target, partial unions
+    # run per (cell, salt) first — union is associative, so salted
+    # partials + per-cell merge + driver final is exact.
+    if salt_target_rows is not None:
+        from .spatial import salted_adaptive
+
+        hist = with_cell.groupBy("cell").count()
+        hot = hist.filter(F.col("count") > salt_target_rows).limit(1).count() > 0
+        if hot:
+            salted = salted_adaptive(
+                with_cell.withColumn("_rid", F.monotonically_increasing_id()),
+                "cell",
+                id_col="_rid",
+                target_rows_per_group=salt_target_rows,
+            )
+            partials = salted.groupBy("cell", "_salt").applyInPandas(
+                union_kernel_keyed, f"cell long, {poly_col} array<array<array<double>>>"
+            )
+            cell_results = partials.groupBy("cell").applyInPandas(
+                union_kernel, f"{poly_col} array<array<array<double>>>"
+            ).collect()
+        else:
+            cell_results = with_cell.groupBy("cell").applyInPandas(
+                union_kernel, f"{poly_col} array<array<array<double>>>"
+            ).collect()
+    else:
+        cell_results = with_cell.groupBy("cell").applyInPandas(
+            union_kernel, f"{poly_col} array<array<array<double>>>"
+        ).collect()
 
     # final merge on the driver — one entry per cell, tiny
     all_rings = [

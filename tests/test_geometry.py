@@ -143,3 +143,50 @@ def test_bbox_polygon_shape():
     assert p.shape == (5, 2)
     assert np.array_equal(p[0], p[-1])
     assert g.signed_area(p) > 0
+
+
+def test_dissolve_salted_matches_unsalted(spark):
+    """Salted partial unions (grouped-map skew path) must cover the
+    same region as the single-level union — row-set semantics, checked
+    by point containment over a sample grid."""
+    import numpy as np
+    import pandas as pd
+
+    from gtfs_to_geojson_spark import geometry as geom
+    from gtfs_to_geojson_spark.operators import geoagg
+
+    rng = np.random.default_rng(7)
+    # one dense blob (hot cell) + a few scattered buffers
+    centers = np.concatenate(
+        [
+            np.column_stack(
+                [rng.uniform(-122.30, -122.28, 120), rng.uniform(37.78, 37.80, 120)]
+            ),
+            np.column_stack([rng.uniform(-122.5, -122.4, 10), rng.uniform(37.70, 37.75, 10)]),
+        ]
+    )
+    polys_list = [
+        [geom.buffer_point(lat, lon, 300.0, steps=12).tolist()] for lon, lat in centers
+    ]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"polygon": polys_list}),
+        schema="polygon array<array<array<double>>>",
+    )
+    unsalted = geoagg.dissolve_polygons(polys, cell_res=8, salt_target_rows=None)
+    salted = geoagg.dissolve_polygons(polys, cell_res=8, salt_target_rows=30)
+    assert unsalted and salted
+
+    gx, gy = np.meshgrid(
+        np.linspace(-122.52, -122.26, 60), np.linspace(37.69, 37.81, 60)
+    )
+    px, py = gx.ravel(), gy.ravel()
+
+    def contains(parts):
+        return geom.points_in_multipolygon(
+            px, py, [[np.asarray(r) for r in poly] for poly in parts]
+        )
+
+    a, b = contains(unsalted), contains(salted)
+    # identical coverage away from ring boundaries (vertex order may
+    # differ between association orders; allow a tiny epsilon band)
+    assert (a == b).mean() > 0.995
