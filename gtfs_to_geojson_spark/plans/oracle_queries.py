@@ -1119,3 +1119,99 @@ _ROWS_ONLY.update(
         "a3_dissolve": a3_dissolve_rowsonly,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# coverage round 3: event-stream operators re-expressed as batch
+# (tumbling window, sessionization, JSON extraction) over the events
+# table — the batch twins of streaming/stream_assign.py's windowed agg
+# ---------------------------------------------------------------------------
+
+
+# ---- W1: tumbling-window aggregation (streaming windowed agg, batch twin) ----
+@q(
+    "w1_tumbling_window",
+    """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def w1_tumbling_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value").cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+# ---- W2: sessionization (30-min inactivity gap per user) ----
+@q(
+    "w2_sessionize",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events, min(event_id) AS first_event
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def w2_sessionize(spark, sf_dir):
+    """Session windows via lag + cumulative flag-sum — the batch
+    formulation of streaming session_window; gap compares integer
+    microseconds (unix_micros/epoch_us) so the boundary is exact in
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet reads as TIMESTAMP_NTZ
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+# ---- G13: JSON property extraction ----
+@q(
+    "g13_json_extract",
+    """
+SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def g13_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
