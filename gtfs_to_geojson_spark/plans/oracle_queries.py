@@ -1215,3 +1215,130 @@ def g13_json_extract(spark, sf_dir):
         "event_type",
         (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# coverage round 4: k>1 kNN, within-radius join, stopword ratio
+# ---------------------------------------------------------------------------
+
+
+# ---- J8b: kNN with k=3 (multi-neighbor ranking path) ----
+@q(
+    "j8b_knn3",
+    f"""
+SELECT c_custkey AS custkey, s_suppkey AS suppkey, CAST(rn AS INT) AS rank FROM (
+  SELECT c_custkey, s_suppkey,
+         row_number() OVER (
+           PARTITION BY c_custkey
+           ORDER BY 2.0 * 6371008.8 * asin(sqrt(least(
+             pow(sin(radians(t_lat - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(t_lat)) * pow(sin(radians(t_lon - lon) / 2), 2),
+             1.0))), s_suppkey
+         ) AS rn
+  FROM ({CUSTOMER_POINTS_SQL}) p CROSS JOIN ({SUPPLIER_POINTS_SQL}) t
+) WHERE rn <= 3
+""",
+)
+def j8b_knn3(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    tgt = supplier_points(spark, sf_dir)
+    out = spatial.knn_join(
+        pts, tgt, res=CELL_RES, k=3,
+        point_key="c_custkey", target_key="s_suppkey",
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.asc("_dist_m"), F.asc("s_suppkey"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---- J6b: within-radius spatial join (distance theta join) ----
+@q(
+    "j6b_radius_join",
+    f"""
+SELECT c_custkey AS custkey, s_suppkey AS suppkey
+FROM ({CUSTOMER_POINTS_SQL}) p CROSS JOIN ({SUPPLIER_POINTS_SQL}) t
+WHERE 2.0 * 6371008.8 * asin(sqrt(least(
+        pow(sin(radians(t_lat - lat) / 2), 2)
+        + cos(radians(lat)) * cos(radians(t_lat)) * pow(sin(radians(t_lon - lon) / 2), 2),
+        1.0))) <= 2500.0
+""",
+)
+def j6b_radius_join(spark, sf_dir):
+    """Within-2500m join: k-ring cell-cover equi-prejoin (ring sized
+    from the radius and cell extent at the data's latitude) + exact
+    haversine residual — the distance-join sibling of J6. The oracle
+    is the brute-force cross join with the identical formula (both
+    engines evaluate IEEE sin/cos; the boundary set is measure-zero)."""
+    import math
+
+    from .. import geometry as geom
+    from ..functions.geo import haversine_m
+
+    res = CELL_RES
+    n = 1 << res
+    radius_m = 2500.0
+    # cell height in meters; ring count that guarantees coverage
+    cell_h_m = 180.0 / n * geom.EARTH_M_PER_DEG_LAT
+    max_lat = LAT0 + LAT_SPAN
+    cell_w_m = 360.0 / (2 * n) * geom.EARTH_M_PER_DEG_LAT * math.cos(math.radians(max_lat))
+    ring = max(1, math.ceil(radius_m / min(cell_h_m, cell_w_m)))
+
+    pts = customer_points(spark, sf_dir)
+    tgt = supplier_points(spark, sf_dir).withColumn(
+        "_tcell", cells.cell_col(F.col("t_lat"), F.col("t_lon"), res)
+    )
+    px, py = cells.xy_col(F.col("lat"), F.col("lon"), res)
+    res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+    cand_cells = F.flatten(
+        F.transform(
+            F.sequence(F.greatest(px - ring, F.lit(0)), F.least(px + ring, F.lit(2 * n - 1))),
+            lambda x: F.transform(
+                F.sequence(F.greatest(py - ring, F.lit(0)), F.least(py + ring, F.lit(n - 1))),
+                lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,
+            ),
+        )
+    )
+    probe = pts.withColumn("_tcell", F.explode(cand_cells))
+    joined = probe.join(broadcast(tgt), "_tcell")
+    return (
+        joined.filter(
+            haversine_m(F.col("lat"), F.col("lon"), F.col("t_lat"), F.col("t_lon"))
+            <= F.lit(radius_m)
+        )
+        .select(F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey"))
+        .distinct()
+    )
+
+
+# ---- text: stopword ratio (quality-scoring family) ----
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "be", "this", "was", "are",
+]
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+@q(
+    "text_stopword_ratio",
+    rf"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            w -> list_contains({_SW_SQL}, w))) AS BIGINT) AS n_stopwords,
+       round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  w -> list_contains({_SW_SQL}, w))) AS DOUBLE)
+             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS stopword_ratio
+FROM documents
+""",
+)
+def text_stopword_ratio(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.greatest(F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(1))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
+    )
