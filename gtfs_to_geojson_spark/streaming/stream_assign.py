@@ -116,3 +116,70 @@ def run_stream_to_parquet(
     if timeout_s is not None:
         q.awaitTermination(timeout_s)
     return q
+
+
+def stream_dedup_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-micro-batch exact dedup by phash — the streaming twin of
+    dedup.exact_dedup. State per phash records that a representative
+    was already emitted; later occurrences (same batch, later batch,
+    or after a checkpointed restart) emit nothing. Deterministic
+    representative: smallest image_id within the first batch seen.
+    """
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    imgs = stream_images(spark, input_dir).select("image_id", "phash", "caption")
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:  # drain; already emitted for this phash
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[pdf["image_id"].idxmin()]
+            if best is None or cand["image_id"] < best["image_id"]:
+                best = cand
+        if best is not None:
+            state.update((1,))
+            yield pd.DataFrame(
+                {
+                    "phash": [int(key[0])],
+                    "image_id": [best["image_id"]],
+                    "caption": [best["caption"]],
+                }
+            )
+
+    return imgs.groupBy("phash").applyInPandasWithState(
+        dedup_fn,
+        "phash long, image_id string, caption string",
+        "seen int",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_dedup_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: float | None = None,
+):
+    """Append sink for the stateful dedup; the checkpoint's state store
+    carries seen-phash state across restarts (exactly-once emission)."""
+    deduped = stream_dedup_first_seen(spark, input_dir)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout_s is not None:
+        q.awaitTermination(timeout_s)
+    return q

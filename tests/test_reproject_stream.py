@@ -150,3 +150,39 @@ def test_salted_adaptive_splits_only_hot_cells(spark, images_df):
     # the hot cell really did split
     hot_tile = hist.idxmax()
     assert groups[groups["tile"] == hot_tile]["_salt"].nunique() > 1
+
+
+def test_stateful_stream_dedup_across_batches(spark, images_pd, tmp_path):
+    """applyInPandasWithState dedup: a phash emitted in run 1 must not
+    re-emit when run 2 (restarted from checkpoint) replays duplicates."""
+    from gtfs_to_geojson_spark.streaming.stream_assign import (
+        run_stream_dedup_to_parquet,
+    )
+
+    in_dir = tmp_path / "dd_in"
+    out_dir = tmp_path / "dd_out"
+    ckpt = tmp_path / "dd_ckpt"
+    in_dir.mkdir()
+
+    first = images_pd.iloc[:120]
+    first.to_parquet(str(in_dir / "drop1.parquet"), index=False)
+    q = run_stream_dedup_to_parquet(spark, str(in_dir), str(out_dir), str(ckpt), timeout_s=120)
+    q.stop()
+    got1 = spark.read.parquet(str(out_dir)).toPandas()
+    assert len(got1) == first["phash"].nunique()
+
+    # drop 2: 40 duplicates of batch-1 phashes + the remaining new images
+    dup = first.iloc[:40].copy()
+    dup["image_id"] = dup["image_id"] + "_dup"  # new ids, same phash
+    rest = images_pd.iloc[120:]
+    import pandas as pd
+
+    pd.concat([dup, rest]).to_parquet(str(in_dir / "drop2.parquet"), index=False)
+    q2 = run_stream_dedup_to_parquet(spark, str(in_dir), str(out_dir), str(ckpt), timeout_s=120)
+    q2.stop()
+    got2 = spark.read.parquet(str(out_dir)).toPandas()
+
+    # every phash exactly once, duplicates never re-emitted
+    assert got2["phash"].is_unique
+    assert len(got2) == images_pd["phash"].nunique()
+    assert not got2["image_id"].str.endswith("_dup").any()
