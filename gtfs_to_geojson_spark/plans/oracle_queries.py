@@ -1132,7 +1132,7 @@ _ROWS_ONLY.update(
 @q(
     "w1_tumbling_window",
     """
-SELECT date_trunc('hour', ts) AS win_start, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
        count(*) AS n_events,
        round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
 FROM events
@@ -1140,10 +1140,14 @@ GROUP BY 1, 2
 """,
 )
 def w1_tumbling_window(spark, sf_dir):
+    # win_start emitted as a formatted string — timestamp columns are
+    # the one type whose serialization differs across compare harnesses
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.window("ts", "1 hour").start.alias("win_start"),
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
             "event_type",
         )
         .agg(
