@@ -1346,3 +1346,31 @@ def text_stopword_ratio(spark, sf_dir):
         n_stop.cast("long").alias("n_stopwords"),
         F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
     )
+
+
+# ---- A13: hierarchical cell rollup (hypertable-style multi-res counts) ----
+@q(
+    "a13_cell_rollup",
+    f"""
+SELECT coarse, fine, count(*) AS n, CAST(grouping(fine) AS INT) AS is_rollup
+FROM (
+  SELECT {cells.cell_sql('lat', 'lon', 12)} AS coarse,
+         {cells.cell_sql('lat', 'lon', 16)} AS fine
+  FROM ({CUSTOMER_POINTS_SQL})
+)
+GROUP BY ROLLUP (coarse, fine)
+""",
+)
+def a13_cell_rollup(spark, sf_dir):
+    """Multi-resolution rollup: counts at fine cells, per coarse cell,
+    and grand total in one pass (partial aggregation reuse — the
+    hypertable-rollup pattern on the cell hierarchy)."""
+    pts = customer_points(spark, sf_dir)
+    cells_df = pts.select(
+        cells.cell_col(F.col("lat"), F.col("lon"), 12).alias("coarse"),
+        cells.cell_col(F.col("lat"), F.col("lon"), 16).alias("fine"),
+    )
+    return cells_df.rollup("coarse", "fine").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("fine").cast("int").alias("is_rollup"),
+    )

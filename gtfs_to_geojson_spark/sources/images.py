@@ -110,6 +110,24 @@ def write_images(
     out.write.mode(mode).partitionBy("bucket").parquet(location)
 
 
+def write_images_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Spark-native bucketed table (``bucketBy(image_id)`` +
+    ``saveAsTable``): joins and aggregations keyed on image_id read
+    this side pre-shuffled — the plan shows no Exchange over it
+    (asserted in test_image_table.py). This is the co-located-join
+    layout for repeated image_id joins (pixels re-attach, phash
+    verify) at 10^12-row scale, where re-shuffling the binary payload
+    per query is the dominant cost."""
+    validate_schema(df).write.mode(mode).bucketBy(n_buckets, "image_id").sortBy(
+        "image_id"
+    ).format("parquet").saveAsTable(table_name)
+
+
 def read_bucket(spark: SparkSession, location: str, bucket: int) -> DataFrame:
     """One bucket's rows. Under the parquet fallback the ``bucket =``
     filter is a hive partition predicate — Spark prunes to that single

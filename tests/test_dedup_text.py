@@ -121,3 +121,14 @@ def test_ivf_recall_against_brute(emb):
     iv = {(r.q_id, r.vec_id) for r in ivf.itertuples()}
     recall = len(bs & iv) / len(bs)
     assert recall >= 0.8  # high-probe IVF ≈ brute force on tiny data
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ approx distinct (the sketch the 100 TB dedup pre-pass
+    uses to size exact passes) stays inside its error bound."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200_000).select((F.col("id") % 37211).alias("v"))
+    exact = df.select(F.count_distinct("v")).first()[0]
+    approx = df.select(F.approx_count_distinct("v", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05

@@ -71,3 +71,34 @@ def test_bucket_pruning(spark, image_df, tmp_path):
 def test_iceberg_seam_off_in_sandbox(spark):
     # no Iceberg jar here — the provider must take the parquet path
     assert provider.iceberg_available(spark) is False
+
+
+def test_bucketed_table_join_skips_exchange(spark, image_df):
+    """bucketBy(image_id) saveAsTable: a self-join on image_id must not
+    shuffle the bucketed sides (no Exchange feeding the SortMergeJoin)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    provider.write_images_bucketed_table(image_df, "imgs_bucketed_test", n_buckets=8)
+    t = spark.table("imgs_bucketed_test")
+    # disable broadcast so the join strategy is SMJ over bucketed scans
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = t.select("image_id", "phash").join(
+            t.select("image_id", "caption"), "image_id"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        import re
+
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchange == 0, plan
+        assert j.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS imgs_bucketed_test")
