@@ -185,8 +185,12 @@ def point_in_polygon_join(
     through the vectorized ray-cast residual. Used for stop-in-
     dissolved-buffer and image-in-route-polygon (J9) assignment."""
     cov = polygon_cover_udf(res)
+    # deterministic polygon key (NOT monotonically_increasing_id —
+    # a nondeterministic key makes the two join branches' broadcast
+    # subtrees unequal, so ReuseExchange can't kick in and the cover
+    # UDF + broadcast build would run twice)
     pg = (
-        polygons.withColumn("_key", F.monotonically_increasing_id())
+        polygons.withColumn("_key", F.xxhash64(F.to_json(F.col(poly_col))))
         .withColumn("_cc", F.explode(cov(F.col(poly_col))))
         .withColumn("_cell", F.col("_cc.cell"))
         .withColumn("_interior", F.col("_cc.interior"))
@@ -196,15 +200,18 @@ def point_in_polygon_join(
     joined = pt.join(pg, "_cell").drop("_cell")
     # Python UDFs are evaluated in their own stage BEFORE a filter, so an
     # `interior | pip()` expression would still ray-cast every candidate.
-    # Split physically: interior candidates never touch Python.
-    inside = joined.filter(F.col("_interior")).drop("_interior", "_key")
+    # Split physically: interior candidates never touch Python. Catalyst
+    # then pushes each branch's _interior predicate INTO its broadcast
+    # build side, so branch 1 broadcasts only interior cover cells and
+    # joins entirely in the JVM, and branch 2 broadcasts only the
+    # boundary rim and ray-casts only those candidates. The cover UDF
+    # evaluates once per branch, but over the (small) polygon side only.
+    inside = joined.filter(F.col("_interior"))
     pip = pip_residual_udf()
-    boundary = (
-        joined.filter(~F.col("_interior"))
-        .filter(pip(F.col(lon_col), F.col(lat_col), F.col("_key"), F.col(poly_col)))
-        .drop("_interior", "_key")
+    boundary = joined.filter(~F.col("_interior")).filter(
+        pip(F.col(lon_col), F.col(lat_col), F.col("_key"), F.col(poly_col))
     )
-    return inside.unionByName(boundary)
+    return inside.unionByName(boundary).drop("_interior", "_key")
 
 
 # ---------------------------------------------------------------------------
