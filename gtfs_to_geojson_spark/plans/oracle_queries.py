@@ -1374,3 +1374,48 @@ def a13_cell_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.grouping("fine").cast("int").alias("is_rollup"),
     )
+
+
+# ---- S11: native session_window (streaming session op, batch mode) ----
+@q(
+    "s11_session_window",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def s11_session_window(spark, sf_dir):
+    """Spark's native session_window (the streaming session operator,
+    usable in batch) vs the independent lag+flag-sum SQL formulation —
+    two different algorithms for the same 30-min-gap session semantics.
+    session_window's window start IS the first event time, so the
+    (user, session_start) keys and counts must agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
