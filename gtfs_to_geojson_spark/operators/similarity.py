@@ -77,6 +77,41 @@ def seeded_centroids(emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
     return np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) for the IVF codebook.
+
+    Each iteration is one Spark pass: assign every vector to its
+    nearest centroid (vectorized matmul UDF, centroids in the
+    closure), then recompute per-centroid means with
+    ``posexplode(vec) → groupBy(cluster, dim).avg`` — partial
+    aggregation keeps the shuffle at k·d rows regardless of table
+    size. Only the (k × d) centroid matrix crosses the driver
+    boundary per iteration. Deterministic: init from seeded_centroids,
+    no RNG; empty clusters keep their previous centroid."""
+    cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
+    for _ in range(max(0, n_iters)):
+        assign = ivf_assign_udf(cents)
+        assigned = emb.select(assign(F.col(vec_col)).alias("_c"), F.col(vec_col))
+        sums = (
+            assigned.select("_c", F.posexplode(vec_col).alias("_dim", "_v"))
+            .groupBy("_c", "_dim")
+            .agg(F.avg("_v").alias("_mean"))
+            .collect()
+        )
+        new = cents.copy()  # clusters with no members keep their centroid
+        for r in sums:
+            new[r["_c"], r["_dim"]] = r["_mean"]
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new / norms
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -87,12 +122,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id: str = "q_id",
     q_vec: str = "q_vec",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-bucketed ANN: exact cosine, restricted to the n_probe
     nearest centroid buckets per query. Approximate (recall < 1 when
     the true neighbor lives in an unprobed bucket) — the scale path
-    for 10^12-row tables where brute force is off the table."""
-    cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
+    for 10^12-row tables where brute force is off the table.
+    ``train_iters > 0`` refines the codebook with distributed k-means
+    (better-balanced buckets → higher recall at the same n_probe)."""
+    if train_iters > 0:
+        cents = kmeans_centroids(emb, n_centroids, train_iters, id_col, vec_col)
+    else:
+        cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
     assign = ivf_assign_udf(cents)
     bucketed = emb.withColumn("_bucket", assign(F.col(vec_col)))
 

@@ -132,3 +132,40 @@ def test_approx_count_distinct_error_bound(spark):
     exact = df.select(F.count_distinct("v")).first()[0]
     approx = df.select(F.approx_count_distinct("v", rsd=0.02)).first()[0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_kmeans_centroids_improve_assignment(spark, emb):
+    """Distributed Lloyd's: mean cosine of each vector to its assigned
+    centroid must improve (or hold) over the seeded init."""
+    import numpy as np
+
+    def mean_assigned_cos(cents):
+        rows = emb.toPandas()
+        m = np.asarray([np.asarray(v) for v in rows["embedding"]], dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        c = np.asarray(cents, dtype=np.float64)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        return float(np.max(m @ c.T, axis=1).mean())
+
+    init = similarity.seeded_centroids(emb, 4, "vec_id", "embedding")
+    trained = similarity.kmeans_centroids(emb, 4, n_iters=3)
+    assert mean_assigned_cos(trained) >= mean_assigned_cos(init) - 1e-9
+
+
+def test_ivf_trained_recall_not_worse(spark, emb):
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = similarity.brute_force_topk(emb, queries, k=3).toPandas()
+    truth = {(r.q_id, r.vec_id) for r in brute.itertuples()}
+
+    def recall(train_iters):
+        ivf = similarity.ivf_topk(
+            emb, queries, k=3, n_centroids=4, n_probe=2, train_iters=train_iters
+        ).toPandas()
+        got = {(r.q_id, r.vec_id) for r in ivf.itertuples()}
+        return len(got & truth) / len(truth)
+
+    assert recall(3) >= recall(0) - 1e-9
