@@ -79,3 +79,45 @@ def run_bucketed(
         n = process_bucket(inputs.filter(F.col(bucket_col) == F.lit(b)))
         manifest.mark_done([(int(b), int(n), (time.time() - t0) * 1000.0)])
     return len(todo), len(all_buckets) - len(todo)
+
+
+def run_bucketed_waves(
+    spark: SparkSession,
+    inputs: DataFrame,
+    bucket_col: str,
+    out_dir: str,
+    manifest: LineageManifest,
+    wave_size: int = 64,
+    select_cols: list | None = None,
+) -> tuple[int, int]:
+    """Scale variant of run_bucketed: pending buckets are processed in
+    WAVES — one partitioned write per wave_size buckets instead of one
+    driver-loop job per bucket (thousands of buckets ⇒ thousands of
+    tiny jobs is a driver bottleneck). Dynamic partition overwrite
+    means a killed wave re-runs cleanly: only its own bucket
+    directories are replaced, completed waves' manifest rows keep them
+    out of the pending set. Returns (n_buckets_processed, n_skipped).
+    """
+    all_buckets = [r[0] for r in inputs.select(bucket_col).distinct().collect()]
+    done = {r[0] for r in manifest.completed_buckets().collect()}
+    todo = sorted(b for b in all_buckets if b not in done)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for i in range(0, len(todo), wave_size):
+            wave = todo[i : i + wave_size]
+            t0 = time.time()
+            df = inputs.filter(F.col(bucket_col).isin([int(b) for b in wave]))
+            if select_cols:
+                df = df.select(*select_cols)
+            df.write.mode("overwrite").partitionBy(bucket_col).parquet(out_dir)
+            counts = {
+                r[0]: r[1]
+                for r in df.groupBy(bucket_col).count().collect()
+            }
+            ms = (time.time() - t0) * 1000.0 / max(1, len(wave))
+            manifest.mark_done([(int(b), int(counts.get(b, 0)), ms) for b in wave])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return len(todo), len(all_buckets) - len(todo)

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--res", type=int, default=14)
     ap.add_argument("--bucket-res", type=int, default=4)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--wave-size", type=int, default=64,
+                    help="buckets per write job (wave-mode lineage)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
@@ -61,7 +63,10 @@ def main():
 
     from gtfs_to_geojson_spark import cells
     from gtfs_to_geojson_spark.operators import spatial
-    from gtfs_to_geojson_spark.streaming.lineage import LineageManifest, run_bucketed
+    from gtfs_to_geojson_spark.streaming.lineage import (
+        LineageManifest,
+        run_bucketed_waves,
+    )
 
     from gtfs_to_geojson_spark.sources.images import read_images
 
@@ -109,14 +114,15 @@ def main():
 
     out_cols = [c for c in work.columns if c != "bytes"]
 
-    def process_bucket(df):
-        bid = df.select("bucket").first()[0]
-        df.select(*out_cols).write.mode("overwrite").parquet(
-            f"{args.out}/assignments/bucket={bid}"
-        )
-        return df.count()
-
-    n_done, n_skipped = run_bucketed(spark, work, "bucket", process_bucket, manifest)
+    n_done, n_skipped = run_bucketed_waves(
+        spark,
+        work,
+        "bucket",
+        f"{args.out}/assignments",
+        manifest,
+        wave_size=args.wave_size,
+        select_cols=out_cols,
+    )
     dt = time.time() - t0
     total_rows = spark.read.parquet(f"{args.out}/assignments").count()
     print(

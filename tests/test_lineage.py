@@ -57,3 +57,46 @@ def test_pending_anti_join(spark, work, tmp_path):
     manifest.mark_done([(0, 20, 1.0), (3, 20, 1.0)])
     pending = manifest.pending(work, "bucket")
     assert {r["bucket"] for r in pending.select("bucket").distinct().collect()} == {1, 2, 4}
+
+
+def test_run_bucketed_waves_resume(spark, tmp_path):
+    """Wave-mode lineage: kill between waves → resume processes only
+    the remaining buckets (completed waves' outputs untouched)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gtfs_to_geojson_spark.streaming.lineage import (
+        LineageManifest,
+        run_bucketed_waves,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket")
+    )
+    out = str(tmp_path / "wave_out")
+    man_dir = str(tmp_path / "wave_manifest")
+
+    # run 1: waves of 4 → process only the first wave, then "crash"
+    m1 = LineageManifest(spark, man_dir)
+    todo1, skipped1 = run_bucketed_waves(
+        spark, df.filter(F.col("bucket") < 4), "bucket", out, m1, wave_size=4
+    )
+    assert (todo1, skipped1) == (4, 0)
+    first_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{out}/bucket=*/part-*")
+    }
+    assert first_files
+
+    # run 2 (restart): full input, waves of 4 → buckets 0-3 skipped
+    m2 = LineageManifest(spark, man_dir)
+    todo2, skipped2 = run_bucketed_waves(spark, df, "bucket", out, m2, wave_size=4)
+    assert todo2 == 6 and skipped2 == 4
+    # completed buckets' files untouched (dynamic partition overwrite)
+    for f, mtime in first_files.items():
+        assert os.path.getmtime(f) == mtime, f
+    # all rows present exactly once
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("id").distinct().count() == 1000
