@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for the SQL-expressible subset; rows-only ops
-    (simhash/minhash-LSH candidates, IVF ANN) are intentionally
-    omitted — the driver records the weaker rows-only check."""
+    """DuckDB twins for the SQL-expressible subset; the few rows-only
+    ops (iterative k-means IVF, toposort, geometry kernels) are
+    intentionally omitted — the driver records the weaker check."""
     return OQ.all_oracle_sql()

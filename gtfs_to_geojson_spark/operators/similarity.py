@@ -65,12 +65,17 @@ def ivf_assign_udf(centroids: np.ndarray):
 
 def seeded_centroids(emb: DataFrame, n_centroids: int, id_col: str, vec_col: str) -> np.ndarray:
     """Deterministic IVF codebook: the vectors with the n smallest
-    xxhash64(id) — stable, data-dependent, no RNG (sandbox forbids
-    wall-clock/random; a k-means refinement would slot in here)."""
+    md5-derived hash of id — stable, data-dependent, no RNG, and
+    reproducible bit-for-bit in any engine with md5 (the DuckDB
+    oracle for ``ann_ivf_topk`` re-derives the identical codebook;
+    a k-means refinement slots in via ``kmeans_centroids``).
+    Centroid index = rank in (hash, id) order — the SQL twin's
+    ``row_number() - 1``."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
     rows = (
         emb.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
-        .orderBy("_h")
+        .withColumn("_h", h)
+        .orderBy("_h", id_col)
         .limit(n_centroids)
         .collect()
     )

@@ -724,33 +724,182 @@ def embed_near_dup(spark, sf_dir):
     )
 
 
-# ---- rows-only checks (non-SQL-expressible ops; driver records weaker check) ----
+# ---- dedup: MinHash+LSH candidate pairs (exact oracle) ----
+# The whole pipeline — shingles → 16 md5-min hashes → 4 banded md5
+# bucket keys → intra-bucket pairs → agreement fraction — is
+# deterministic and engine-stable, so the DuckDB twin reproduces it
+# bit-for-bit (est_jaccard = k/16 is dyadic → exact FP equality).
+_MH_HASHES = ",\n       ".join(
+    f"min(('0x' || substr(md5('seed{i}:' || shingle), 1, 15))::BIGINT) AS h{i}"
+    for i in range(16)
+)
+_MH_BANDS = ",\n       ".join(
+    "md5(concat_ws('_', " + ", ".join(f"h{b * 4 + r}" for r in range(4)) + f")) AS band{b}"
+    for b in range(4)
+)
+_MH_AGREE = " + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(16))
 
-
-def simhash_pairs_rowsonly(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup.simhash_near_pairs(docs, max_hamming=12)
-
-
-def minhash_lsh_rowsonly(spark, sf_dir):
+@q(
+    "minhash_lsh_pairs",
+    f"""
+WITH sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 3, 1) + 1),
+                               s -> substr(lower(text), s, 4))) AS shingle
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE length(shingle) = 4
+), sig AS (
+  SELECT doc_id,
+       {_MH_HASHES}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id,
+       {_MH_BANDS}
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT p.id_a, p.id_b, ({_MH_AGREE}) / 16.0 AS est_jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b
+) WHERE est_jaccard >= 0.5
+""",
+)
+def minhash_lsh_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.5)
 
 
-def ivf_ann_rowsonly(spark, sf_dir):
+# ---- dedup: SimHash near-dup pairs (exact oracle) ----
+# The 64-bit simhash (per-token md5 bits summed ±1 per position) is
+# re-derived in pure SQL: token hash = first 8 md5 bytes big-endian
+# (two 8-hex-char BIGINT parts assembled into a HUGEINT), bit b of the
+# signature set iff sum over tokens of ±1 at b is > 0, bit 63 mapped to
+# the int64 sign bit. Candidate restriction (agree on ≥1 of four
+# 16-bit bands) and the exact hamming filter both replicated.
+@q(
+    "simhash_pairs",
+    """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents WHERE doc_id < 200
+  ) WHERE tok <> ''
+), th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT::HUGEINT * 4294967296
+           + ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hv
+  FROM toks
+), acc AS (
+  SELECT doc_id, b, sum(CASE WHEN (hv >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN generate_series(0, 63) t(b)
+  GROUP BY doc_id, b
+), sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN
+               CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT
+                    ELSE (1::HUGEINT << b) END
+             ELSE 0::HUGEINT END)::BIGINT AS simhash
+  FROM acc GROUP BY doc_id
+), u AS (
+  SELECT doc_id, simhash,
+         simhash::HUGEINT
+           + CASE WHEN simhash < 0 THEN 18446744073709551616::HUGEINT
+                  ELSE 0::HUGEINT END AS uh
+  FROM sim
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM u a JOIN u b ON a.doc_id < b.doc_id
+   AND (  (a.uh % 65536) = (b.uh % 65536)
+       OR ((a.uh >> 16) % 65536) = ((b.uh >> 16) % 65536)
+       OR ((a.uh >> 32) % 65536) = ((b.uh >> 32) % 65536)
+       OR ((a.uh >> 48) % 65536) = ((b.uh >> 48) % 65536))
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 12
+""",
+)
+def simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_near_pairs(docs, max_hamming=12)
+
+
+# ---- ANN: IVF top-k with the seeded codebook (exact oracle) ----
+# seeded_centroids picks the 8 vectors with smallest md5-hash of id —
+# SQL-reproducible; assignment/probe/top-k are rank orderings over
+# cosine, emitted without the raw float (same convention as
+# ann_brute_topk: FP summation order differs across engines, rank
+# ordering does not unless two cosines tie within ~1e-15).
+@q(
+    "ann_ivf_topk",
+    """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT v, row_number() OVER (
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+         ) - 1 AS cidx
+  FROM emb
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+  LIMIT 8
+), assigned AS (
+  SELECT vec_id, v, cidx AS bucket FROM (
+    SELECT e.vec_id, e.v, c.cidx,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cidx ASC) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 5
+), probes AS (
+  SELECT q_id, qv, cidx AS bucket FROM (
+    SELECT q.q_id, q.qv, c.cidx,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cidx ASC) AS rn
+    FROM queries q CROSS JOIN cents c
+  ) WHERE rn <= 3
+)
+SELECT q_id, vec_id, rank FROM (
+  SELECT p.q_id, a.vec_id,
+         row_number() OVER (PARTITION BY p.q_id
+                            ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id ASC) AS rank
+  FROM probes p JOIN assigned a USING (bucket)
+) WHERE rank <= 5
+""",
+)
+def ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    out = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    return out.select("q_id", "vec_id", "rank")
+
+
+# kmeans-trained IVF stays rows-only: the codebook is the fixpoint of
+# an iterative distributed Lloyd's loop — not SQL-expressible.
+def ivf_trained_rowsonly(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=3, train_iters=2
+    )
 
 
 _ROWS_ONLY = {
-    "simhash_pairs": simhash_pairs_rowsonly,
-    "minhash_lsh_pairs": minhash_lsh_rowsonly,
-    "ann_ivf_topk": ivf_ann_rowsonly,
+    "ann_ivf_trained": ivf_trained_rowsonly,
 }
 
 
