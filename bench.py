@@ -280,12 +280,18 @@ def main():
     knn_factor = int(os.environ.get("SPARK_GRAFT_KNN_FACTOR", "1"))
 
     def knn_points_cache() -> str:
-        # same well-chunked-source rationale as build_points_cache
+        # same well-chunked-source rationale as build_points_cache.
+        # v2: the synthetic lineitem repeats (l_orderkey, l_linenumber)
+        # pairs, so the old arithmetic key collided for ~24% of rows —
+        # kNN is a keyed join (k rows per distinct point key), so the
+        # ids must be unique for the row count to equal the point count.
         sf_tag = sf_dir.rstrip("/").replace("/", "_")
-        path = f"/tmp/spark_graft_bench_knnpts_{sf_tag}_{knn_factor}.parquet"
+        path = f"/tmp/spark_graft_bench_knnpts_v2_{sf_tag}_{knn_factor}.parquet"
         if os.path.exists(path):
             return path
-        base = li.select("l_orderkey", "l_linenumber").repartition(64)
+        from pyspark.sql import Window
+
+        base = li.select("l_orderkey", "l_linenumber")
         if knn_factor > 1:
             base = base.select(
                 "l_orderkey",
@@ -294,10 +300,16 @@ def main():
             )
         else:
             base = base.withColumn("rep", F.lit(0))
-        key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * knn_factor + F.col("rep")
-        base.select(
-            key.alias("point_id"), OQ.lon_col(key).alias("lon"), OQ.lat_col(key).alias("lat")
-        ).write.mode("overwrite").parquet(path)
+        # unique id via a global row_number — a one-off sort at cache
+        # build time (outside every timed region)
+        key = F.row_number().over(
+            Window.orderBy("l_orderkey", "l_linenumber", "rep")
+        ).cast("long")
+        base.select(key.alias("point_id")).select(
+            "point_id",
+            OQ.lon_col(F.col("point_id")).alias("lon"),
+            OQ.lat_col(F.col("point_id")).alias("lat"),
+        ).repartition(64).write.mode("overwrite").parquet(path)
         return path
 
     def li_points_1x():

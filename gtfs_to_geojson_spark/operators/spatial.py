@@ -219,6 +219,86 @@ def point_in_polygon_join(
 # ---------------------------------------------------------------------------
 
 
+# targets at or below this count take the broadcast-local strategy:
+# 100k targets ≈ 2.4 MB of (id, lon, lat) — well under any sane
+# broadcast budget, and the per-batch distance matrix stays bounded by
+# the chunking inside the kernel.
+KNN_BROADCAST_MAX_TARGETS = 100_000
+
+
+def _knn_broadcast(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    target_key: str,
+    lon_col: str,
+    lat_col: str,
+    t_lon: str,
+    t_lat: str,
+) -> DataFrame:
+    """Broadcast-local kNN: the whole (small) target side is collected
+    once, shipped in the task closure, and each Arrow batch of points
+    computes its haversine distance matrix + top-k in numpy — ONE
+    map-side pass over the point table, zero shuffle, no driver loop.
+    This is the kNN analog of a broadcast hash join, and the plan you
+    want at 10^12 points vs a dimension-sized target table (routes,
+    shape vertices): nothing about it grows with the point count.
+
+    Exact, deterministic tie-break on (distance, target_id) — full
+    lexsort per row, so boundary ties at the k-th slot are ordered by
+    id just like the window in the ring path."""
+    tgt = targets.select(target_key, t_lon, t_lat).orderBy(target_key).toPandas()
+    schema = T.StructType(
+        list(points.schema.fields)
+        + [
+            targets.schema[target_key],
+            T.StructField(t_lon, T.DoubleType()),
+            T.StructField(t_lat, T.DoubleType()),
+            T.StructField("_dist_m", T.DoubleType()),
+        ]
+    )
+    if len(tgt) == 0:
+        return points.sparkSession.createDataFrame([], schema)
+    tid = tgt[target_key].to_numpy()
+    tlon = tgt[t_lon].to_numpy(dtype=np.float64)
+    tlat = tgt[t_lat].to_numpy(dtype=np.float64)
+    n_t = len(tid)
+    kk = min(k, n_t)
+    # chunk so the (chunk × n_targets) distance matrix stays ~32 MB
+    chunk = max(1, 4_000_000 // n_t)
+    point_cols = [f.name for f in points.schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            plon = pdf[lon_col].to_numpy(dtype=np.float64)
+            plat = pdf[lat_col].to_numpy(dtype=np.float64)
+            for s in range(0, n, chunk):
+                e = min(n, s + chunk)
+                d = geom.haversine_m(
+                    plat[s:e, None], plon[s:e, None], tlat[None, :], tlon[None, :]
+                )
+                if kk == 1:
+                    # tid is sorted ascending and argmin takes the first
+                    # minimum → smallest id wins exact ties
+                    j = np.argmin(d, axis=1)[:, None]
+                else:
+                    keys_id = np.broadcast_to(tid, d.shape)
+                    j = np.lexsort((keys_id, d), axis=-1)[:, :kk]
+                rows = np.repeat(np.arange(s, e), kk)
+                jf = j.ravel()
+                out = pdf.iloc[rows][point_cols].reset_index(drop=True)
+                out[target_key] = tid[jf]
+                out[t_lon] = tlon[jf]
+                out[t_lat] = tlat[jf]
+                out["_dist_m"] = np.take_along_axis(d, j, axis=1).ravel()
+                yield out
+
+    return points.mapInPandas(gen, schema)
+
+
 def knn_join(
     points: DataFrame,
     targets: DataFrame,
@@ -231,8 +311,17 @@ def knn_join(
     t_lon: str = "t_lon",
     t_lat: str = "t_lat",
     max_rounds: int = 6,
+    strategy: str = "auto",
+    broadcast_threshold: int = KNN_BROADCAST_MAX_TARGETS,
 ) -> DataFrame:
     """J8 — k nearest targets per point, exact.
+
+    Physical strategy selection (like Catalyst's broadcast-vs-shuffle
+    join choice): when the target side fits a broadcast
+    (``strategy='auto'`` probes it with a cheap limit+count), use the
+    broadcast-local numpy kernel — one shuffle-free map pass over the
+    points. Otherwise fall back to the distributed ring-expansion
+    search below, which never materializes the target side anywhere.
 
     Ring-expansion candidate search: round r joins each unresolved
     point's cell k-ring (radius 2^r − 1 cells, built with a JVM-side
@@ -245,7 +334,30 @@ def knn_join(
 
     Distances: haversine meters (functions.geo.haversine_m, JVM-side).
     Deterministic tie-break on (distance, target_id).
+
+    Contract: ``point_key`` must be unique per input row (kNN is a
+    keyed join — k output rows per point). With duplicate keys the
+    ring path's per-key window would collapse duplicates while the
+    broadcast path emits per input row; uniqueness makes every
+    strategy agree.
     """
+    if strategy not in ("auto", "broadcast", "ring"):
+        raise ValueError(f"unknown kNN strategy {strategy!r}")
+    if strategy == "broadcast" or (
+        strategy == "auto"
+        and targets.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+    ):
+        return _knn_broadcast(
+            points.select(point_key, lon_col, lat_col),
+            targets,
+            k,
+            target_key,
+            lon_col,
+            lat_col,
+            t_lon,
+            t_lat,
+        )
+
     from ..functions.geo import haversine_m
 
     n = 1 << res

@@ -105,29 +105,62 @@ def test_knn_matches_bruteforce(spark, points_df):
         }
     )
     tgt = spark.createDataFrame(tgt_pd)
-    got = {
-        (r["point_id"], r["target_id"])
-        for r in spatial.knn_join(pdf_s, tgt, res=14, k=1).collect()
-    }
     # brute force with the same metric
     want = set()
     for _, p in pdf.iterrows():
         d = g.haversine_m(p.lat, p.lon, tgt_pd.t_lat.to_numpy(), tgt_pd.t_lon.to_numpy())
         j = int(np.lexsort((tgt_pd.target_id.to_numpy(), d))[0])
         want.add((int(p.point_id), int(tgt_pd.target_id[j])))
-    assert got == want
+    # both physical strategies must produce the identical exact answer
+    for strategy in ("broadcast", "ring"):
+        got = {
+            (r["point_id"], r["target_id"])
+            for r in spatial.knn_join(pdf_s, tgt, res=14, k=1, strategy=strategy).collect()
+        }
+        assert got == want, strategy
 
 
 def test_knn_k3_and_sparse_targets(spark, points_df):
     (pdf_s, pdf) = points_df
-    # only 2 targets → every point must still resolve (brute-force tail)
+    # only 2 targets → every point must still resolve (brute-force tail
+    # of the ring strategy; forced so auto-selection can't hide it)
     tgt_pd = pd.DataFrame(
         {"target_id": [0, 1], "t_lon": [-122.50, -122.36], "t_lat": [37.71, 37.83]}
     )
     tgt = spark.createDataFrame(tgt_pd)
-    out = spatial.knn_join(pdf_s, tgt, res=14, k=2).toPandas()
+    out = spatial.knn_join(pdf_s, tgt, res=14, k=2, strategy="ring").toPandas()
     assert len(out) == 2 * len(pdf)
     assert set(out["point_id"]) == set(pdf["point_id"])
+
+
+def test_knn_strategies_agree_k3(spark, points_df):
+    (pdf_s, pdf) = points_df
+    rng = np.random.default_rng(7)
+    nt = 25
+    tgt_pd = pd.DataFrame(
+        {
+            "target_id": np.arange(nt),
+            "t_lon": rng.uniform(-122.52, -122.35, nt),
+            "t_lat": rng.uniform(37.70, 37.84, nt),
+        }
+    )
+    tgt = spark.createDataFrame(tgt_pd)
+    frames = {
+        s: spatial.knn_join(pdf_s, tgt, res=14, k=3, strategy=s)
+        .select("point_id", "target_id", "_dist_m")
+        .toPandas()
+        .sort_values(["point_id", "_dist_m", "target_id"])
+        .reset_index(drop=True)
+        for s in ("broadcast", "ring")
+    }
+    assert len(frames["broadcast"]) == 3 * len(pdf)
+    pd.testing.assert_frame_equal(
+        frames["broadcast"][["point_id", "target_id"]],
+        frames["ring"][["point_id", "target_id"]],
+    )
+    np.testing.assert_allclose(
+        frames["broadcast"]["_dist_m"], frames["ring"]["_dist_m"], rtol=1e-9
+    )
 
 
 def test_image_tile_assignment_and_caption_equality(spark, images_df, images_pd):
