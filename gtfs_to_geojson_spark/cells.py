@@ -220,3 +220,100 @@ def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
         f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT} "
         f"+ CAST({x} AS BIGINT) * {1 << _XY_BITS} + CAST({y} AS BIGINT))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) keys — spatial data layout at scale
+# ---------------------------------------------------------------------------
+# The packed cell id above is row-major (x*2^29 + y): consecutive ids
+# sweep a whole row of the grid, so sorting a table by cell id gives
+# good locality in x and none in y. The Morton key interleaves the x/y
+# bits instead, which buys the property that makes spatial layout work
+# at 100 TB: every cell at ANY coarser resolution is one contiguous
+# Morton range at the data resolution. A table written sorted by
+# Morton key therefore answers "rows in this (parent) cell" with a
+# simple BETWEEN range predicate that parquet min/max stats prune at
+# the file and row-group level — no spatial library in the scan path.
+
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each value so bit i lands at bit 2i."""
+    v = np.asarray(v).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    for shift, mask in _SPREAD_MASKS:
+        v = (v | (v << np.uint64(shift))) & np.uint64(mask)
+    return v
+
+
+def morton(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave (x, y) grid indices (< 2^29) into a Z-order key.
+    x takes the odd bits, y the even bits; result < 2^58 (int64-safe)."""
+    return ((_part1by1(x) << np.uint64(1)) | _part1by1(y)).astype(np.int64)
+
+
+def morton_encode(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    """(lat, lon) → Z-order key at ``res`` (numpy mirror of morton_col)."""
+    _, x, y = decode(encode(lat, lon, res))
+    return morton(x, y)
+
+
+def morton_range_for_cell(cell: int, data_res: int) -> tuple[int, int]:
+    """Inclusive [lo, hi] Morton range (at ``data_res``) covered by a
+    cell at any resolution <= data_res — the contiguity property that
+    turns cell containment into a parquet-prunable BETWEEN."""
+    res, x, y = decode(np.asarray([cell]))
+    d = int(data_res - int(res[0]))
+    if d < 0:
+        raise ValueError("data_res must be >= cell res")
+    base = int(morton(np.asarray([int(x[0])]), np.asarray([int(y[0])]))[0])
+    lo = base << (2 * d)
+    hi = ((base + 1) << (2 * d)) - 1
+    return lo, hi
+
+
+def _spread_col(v: Column) -> Column:
+    for shift, mask in _SPREAD_MASKS:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_col(lat: Column, lon: Column, res: int) -> Column:
+    """Z-order key as a pure Column expression (whole-stage codegen;
+    5 shift/mask rounds per axis — no UDF)."""
+    x, y = xy_col(lat, lon, res)
+    return (
+        F.shiftleft(_spread_col(x), 1).bitwiseOR(_spread_col(y))
+    ).alias(f"morton_r{res}")
+
+
+def morton_from_cell_col(cell: Column) -> Column:
+    """Packed cell id → Z-order key of its (x, y), built-ins only."""
+    x = F.shiftright(cell, _XY_BITS).bitwiseAND(F.lit((1 << _XY_BITS) - 1))
+    y = cell.bitwiseAND(F.lit((1 << _XY_BITS) - 1))
+    return F.shiftleft(_spread_col(x), 1).bitwiseOR(_spread_col(y))
+
+
+def _spread_sql(expr: str) -> str:
+    out = expr
+    for shift, mask in _SPREAD_MASKS:
+        out = f"(({out} | ({out} << {shift})) & {mask})"
+    return out
+
+
+def morton_sql(lat_expr: str, lon_expr: str, res: int) -> str:
+    """The same Z-order key as SQL text (DuckDB-oracle parity)."""
+    n = 1 << res
+    x = (
+        f"CAST(least(greatest(floor(({lon_expr} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(greatest(floor(({lat_expr} + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    )
+    return f"(({_spread_sql(x)} << 1) | {_spread_sql(y)})"

@@ -446,6 +446,32 @@ def cell_encode(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_points"))
 
 
+# ---- Z-order (Morton) layout key + hierarchy algebra ----
+# mkey: the interleaved-bit spatial layout key (operators/layout.py).
+# mkey_parent cross-validates the hierarchy property the layout relies
+# on: Spark derives the coarse key by shifting the fine key right 2d
+# bits, the oracle encodes it directly from (lat, lon) at the coarse
+# res — both must agree for "parent cell = contiguous Morton range"
+# (cells.morton_range_for_cell) to hold.
+@q(
+    "cell_morton",
+    f"""
+SELECT c_custkey AS custkey,
+       {cells.morton_sql('lat', 'lon', 14)} AS mkey,
+       {cells.morton_sql('lat', 'lon', 8)} AS mkey_parent
+FROM ({CUSTOMER_POINTS_SQL})
+""",
+)
+def cell_morton(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    mk = cells.morton_col(F.col("lat"), F.col("lon"), 14)
+    return pts.select(
+        F.col("c_custkey").alias("custkey"),
+        mk.alias("mkey"),
+        F.shiftright(mk, 2 * (14 - 8)).alias("mkey_parent"),
+    )
+
+
 # ---- J6: point-in-envelope spatial join (cell prejoin + residual) ----
 @q(
     "j6_point_in_envelope",

@@ -99,3 +99,48 @@ def test_spark_column_matches_numpy(spark):
             cells.parent_col(cells.cell_col(F.col("lat"), F.col("lon"), res), res, res - 3)
         ).collect()
         assert np.array_equal(np.asarray([r[0] for r in pc]), cells.encode(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), res - 3))
+
+
+def test_morton_interleave_and_hierarchy():
+    # known value: x=0b101 at odd bits, y=0b011 at even bits
+    assert int(cells.morton(np.asarray([0b101]), np.asarray([0b011]))[0]) == 0b100111
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-89.9, 89.9, 1000)
+    lon = rng.uniform(-179.9, 179.9, 1000)
+    m14 = cells.morton_encode(lat, lon, 14)
+    # hierarchy: coarse morton == fine morton >> 2d
+    assert np.array_equal(cells.morton_encode(lat, lon, 8), m14 >> 12)
+    # morton is a bijection of (x, y): decode odd/even bits back
+    _, x, y = cells.decode(cells.encode(lat, lon, 14))
+    assert np.array_equal(cells.morton(x, y), m14)
+
+
+def test_morton_range_covers_exactly_children():
+    c = int(cells.encode(np.asarray([48.85]), np.asarray([2.35]), 9)[0])
+    lo, hi = cells.morton_range_for_cell(c, 13)
+    kids = cells.children(c, 13)
+    _, kx, ky = cells.decode(kids)
+    km = np.sort(cells.morton(kx, ky))
+    assert km[0] == lo and km[-1] == hi
+    assert len(km) == hi - lo + 1  # contiguous, no gaps
+    # a sibling cell's range is disjoint
+    sib = int(cells.pack(9, (int(kx[0]) >> 4) + 1, int(ky[0]) >> 4))
+    lo2, hi2 = cells.morton_range_for_cell(sib, 13)
+    assert hi < lo2 or hi2 < lo
+
+
+def test_morton_col_matches_numpy(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {"lat": rng.uniform(-89.9, 89.9, 500), "lon": rng.uniform(-179.9, 179.9, 500)}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select(cells.morton_col(F.col("lat"), F.col("lon"), 14).alias("m"))
+        .toPandas()["m"]
+        .to_numpy()
+    )
+    assert np.array_equal(got, cells.morton_encode(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), 14))
