@@ -491,22 +491,32 @@ def polygon_union(rings: list[np.ndarray]) -> list[np.ndarray]:
     if not dedup and kept:
         raise UnionError("all edges dropped")
 
-    # chain
+    result = _chain_edges(dedup)
+    if not result:
+        raise UnionError("no rings produced")
+    return result
+
+
+def _chain_edges(edges: list[tuple[np.ndarray, np.ndarray]]) -> list[np.ndarray]:
+    """Chain directed sub-edges into closed rings (shared by the union
+    and the two-set boolean overlays). At junctions take the most
+    clockwise turn (hug the outside). Raises UnionError on open chains
+    or dead ends."""
     out_map: dict[tuple, list[int]] = {}
-    for idx, (p, q) in enumerate(dedup):
+    for idx, (p, q) in enumerate(edges):
         out_map.setdefault(_snap_key(p), []).append(idx)
-    used = [False] * len(dedup)
+    used = [False] * len(edges)
     result: list[np.ndarray] = []
-    for start in range(len(dedup)):
+    for start in range(len(edges)):
         if used[start]:
             continue
-        chain = [dedup[start][0], dedup[start][1]]
+        chain = [edges[start][0], edges[start][1]]
         used[start] = True
-        cur_dir = dedup[start][1] - dedup[start][0]
+        cur_dir = edges[start][1] - edges[start][0]
         guard = 0
         while _snap_key(chain[-1]) != _snap_key(chain[0]):
             guard += 1
-            if guard > len(dedup) + 2:
+            if guard > len(edges) + 2:
                 raise UnionError("open chain")
             cands = [i for i in out_map.get(_snap_key(chain[-1]), []) if not used[i]]
             if not cands:
@@ -518,20 +528,151 @@ def polygon_union(rings: list[np.ndarray]) -> list[np.ndarray]:
                 base = math.atan2(-cur_dir[1], -cur_dir[0])
                 best, best_ang = None, None
                 for i in cands:
-                    d = dedup[i][1] - dedup[i][0]
+                    d = edges[i][1] - edges[i][0]
                     ang = (math.atan2(d[1], d[0]) - base) % (2 * math.pi)
                     if best_ang is None or ang > best_ang:
                         best, best_ang = i, ang
                 nxt = best
             used[nxt] = True
-            cur_dir = dedup[nxt][1] - dedup[nxt][0]
-            chain.append(dedup[nxt][1])
+            cur_dir = edges[nxt][1] - edges[nxt][0]
+            chain.append(edges[nxt][1])
         ring = np.asarray(chain)
         if abs(signed_area(ring)) > 1e-18:
             result.append(ring)
-    if not result:
-        raise UnionError("no rings produced")
     return result
+
+
+def _split_edges_against(
+    polys_src: list[np.ndarray], polys_oth: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split every directed edge of ``polys_src`` at its intersections
+    with edges of ``polys_oth`` → (P, Q) sub-edge endpoint arrays.
+    Same intersection math as polygon_union (proper crossings +
+    collinear-overlap endpoint projections), restricted to cross-set
+    pairs."""
+    A = np.vstack([p[:-1] for p in polys_src])
+    B = np.vstack([p[1:] for p in polys_src])
+    C = np.vstack([p[:-1] for p in polys_oth])
+    D = np.vstack([p[1:] for p in polys_oth])
+    E, Eo = len(A), len(C)
+    if E * Eo > 40_000_000:
+        raise UnionError(f"overlay too large ({E}x{Eo} edge pairs)")
+    eps = 1e-12
+    sminx = np.minimum(A[:, 0], B[:, 0]) - eps
+    smaxx = np.maximum(A[:, 0], B[:, 0]) + eps
+    sminy = np.minimum(A[:, 1], B[:, 1]) - eps
+    smaxy = np.maximum(A[:, 1], B[:, 1]) + eps
+    ominx = np.minimum(C[:, 0], D[:, 0]) - eps
+    omaxx = np.maximum(C[:, 0], D[:, 0]) + eps
+    ominy = np.minimum(C[:, 1], D[:, 1]) - eps
+    omaxy = np.maximum(C[:, 1], D[:, 1]) + eps
+    ov = (
+        (sminx[:, None] <= omaxx[None, :])
+        & (ominx[None, :] <= smaxx[:, None])
+        & (sminy[:, None] <= omaxy[None, :])
+        & (ominy[None, :] <= smaxy[:, None])
+    )
+    ii, jj = np.nonzero(ov)
+    t_lists: dict[int, list[float]] = {}
+    if len(ii):
+        r = B[ii] - A[ii]
+        s = D[jj] - C[jj]
+        qp = C[jj] - A[ii]
+        denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+        cross_qp_s = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+        cross_qp_r = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+        nonpar = np.abs(denom) > 1e-18
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(nonpar, cross_qp_s / denom, np.nan)
+            u = np.where(nonpar, cross_qp_r / denom, np.nan)
+        inner = (
+            nonpar
+            & (t > 1e-12)
+            & (t < 1 - 1e-12)
+            & (u >= -1e-12)
+            & (u <= 1 + 1e-12)
+        )
+        for i_, t_ in zip(ii[inner], np.clip(t[inner], 0.0, 1.0)):
+            t_lists.setdefault(int(i_), []).append(float(t_))
+        rr = np.einsum("ij,ij->i", r, r)
+        par = (~nonpar) & (np.abs(cross_qp_r) < 1e-15) & (rr > 0)
+        if np.any(par):
+            for flag, P_ in ((par, C[jj]), (par, D[jj])):
+                tproj = np.einsum("ij,ij->i", P_ - A[ii], r) / np.where(rr == 0, 1.0, rr)
+                good = flag & (tproj > 1e-12) & (tproj < 1 - 1e-12)
+                for i_, t_ in zip(ii[good], tproj[good]):
+                    t_lists.setdefault(int(i_), []).append(float(t_))
+    P_parts, Q_parts = [], []
+    for i in range(E):
+        if i in t_lists:
+            tt = np.unique(np.concatenate([[0.0, 1.0], np.asarray(t_lists[i])]))
+            pts = A[i] + tt[:, None] * (B[i] - A[i])
+            P_parts.append(pts[:-1])
+            Q_parts.append(pts[1:])
+        else:
+            P_parts.append(A[i : i + 1])
+            Q_parts.append(B[i : i + 1])
+    P = np.vstack(P_parts)
+    Q = np.vstack(Q_parts)
+    nz = np.any(np.abs(P - Q) > 1e-9, axis=1)
+    return P[nz], Q[nz]
+
+
+def _classify_mids(
+    mids: np.ndarray, polys: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(inside, on_boundary) of midpoints vs a set of disjoint rings."""
+    inside = points_in_multipolygon(mids[:, 0], mids[:, 1], [[r] for r in polys])
+    onb = np.zeros(len(mids), dtype=bool)
+    for r in polys:
+        onb |= _points_on_boundary(mids, r)
+    return inside, onb
+
+
+def polygon_intersection(
+    rings_a: list[np.ndarray], rings_b: list[np.ndarray]
+) -> list[np.ndarray]:
+    """A ∩ B over two sets of disjoint simple CCW rings → boundary
+    rings (outers CCW, holes CW); [] when disjoint. Same overlay
+    machinery as polygon_union: split at cross-set intersections, keep
+    A sub-edges inside-or-on B and B sub-edges strictly inside A,
+    chain. Raises UnionError on degenerate tangency (callers fall back
+    exactly like union_or_parts)."""
+    pa = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings_a]
+    pb = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings_b]
+    Pa, Qa = _split_edges_against(pa, pb)
+    Pb, Qb = _split_edges_against(pb, pa)
+    inA, onA = _classify_mids(0.5 * (Pa + Qa), pb)
+    inB, onB = _classify_mids(0.5 * (Pb + Qb), pa)
+    keep_a = inA | onA  # shared boundary contributed once, by the A side
+    keep_b = inB & ~onB
+    edges = [(Pa[i], Qa[i]) for i in np.nonzero(keep_a)[0]]
+    edges += [(Pb[i], Qb[i]) for i in np.nonzero(keep_b)[0]]
+    if not edges:
+        return []
+    return _chain_edges(edges)
+
+
+def polygon_difference(
+    rings_a: list[np.ndarray], rings_b: list[np.ndarray]
+) -> list[np.ndarray]:
+    """A − B over two sets of disjoint simple CCW rings. Keeps A
+    sub-edges strictly outside B plus REVERSED B sub-edges strictly
+    inside A (which chain into CW hole rings when B is nested).
+    [] when B covers A; raises UnionError on degenerate tangency."""
+    pa = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings_a]
+    pb = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings_b]
+    Pa, Qa = _split_edges_against(pa, pb)
+    Pb, Qb = _split_edges_against(pb, pa)
+    inA, onA = _classify_mids(0.5 * (Pa + Qa), pb)
+    inB, onB = _classify_mids(0.5 * (Pb + Qb), pa)
+    keep_a = ~inA & ~onA
+    keep_b = inB & ~onB
+    edges = [(Pa[i], Qa[i]) for i in np.nonzero(keep_a)[0]]
+    edges += [(Qb[i], Pb[i]) for i in np.nonzero(keep_b)[0]]  # reversed
+    if not edges:
+        return []
+    return _chain_edges(edges)
 
 
 def _points_on_boundary(pts: np.ndarray, ring: np.ndarray, eps: float = 1e-9) -> np.ndarray:

@@ -324,3 +324,67 @@ def simplify_lines_udf(precision: int | None):
         return pd.Series(out)
 
     return simp
+
+
+# ---------------------------------------------------------------------------
+# Polygon clip — boolean overlay (intersection / difference) against a
+# broadcast clip geometry (engine-new; extends G5's overlay machinery)
+# ---------------------------------------------------------------------------
+
+
+def clip_polygons(
+    polys: DataFrame,
+    clip_rings: list,
+    op: str = "intersection",
+    poly_col: str = "polygon",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Clip every Polygon row against a fixed clip geometry (list of
+    rings, lon/lat pairs): ``op`` ∈ {'intersection', 'difference'}.
+
+    The clip geometry rides in the task closure (it is a broadcast-dim
+    analog — a region boundary, an AOI mask), the table side streams
+    through ``mapInPandas`` one Arrow batch at a time, numpy overlay
+    kernel per row. Rows whose result is empty are dropped; rows whose
+    overlay degenerates (UnionError) fall back to the uncut input —
+    the same failure contract as dissolve/union (reference
+    src/lib/geojson-utils.ts:135-146). Output: key columns +
+    ``polygon`` (rings, outers CCW / holes CW) + ``clip_status``
+    ('clipped' | 'fallback')."""
+    if op not in ("intersection", "difference"):
+        raise ValueError(f"op must be intersection|difference, got {op!r}")
+    key_cols = key_cols if key_cols is not None else [
+        c for c in polys.columns if c != poly_col
+    ]
+    clip = [np.asarray(r, dtype=np.float64) for r in clip_rings]
+    fn = geom.polygon_intersection if op == "intersection" else geom.polygon_difference
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep_rows, out_polys, status = [], [], []
+            for i, rings in enumerate(pdf[poly_col]):
+                rr = [
+                    np.asarray([[c[0], c[1]] for c in ring], dtype=np.float64)
+                    for ring in rings
+                ]
+                try:
+                    cut = fn(rr, clip)
+                    st = "clipped"
+                except geom.UnionError:
+                    cut, st = rr, "fallback"
+                if not cut:
+                    continue
+                keep_rows.append(i)
+                out_polys.append([r.tolist() for r in cut])
+                status.append(st)
+            res = pdf.iloc[keep_rows][key_cols].reset_index(drop=True)
+            # explicit object dtype: an all-dropped batch would otherwise
+            # produce an empty float64 column Arrow can't cast to the
+            # nested list type
+            res["polygon"] = pd.Series(out_polys, dtype=object)
+            res["clip_status"] = pd.Series(status, dtype=object)
+            yield res
+
+    fields = ", ".join(f"{c} {_spark_type_of(polys, c)}" for c in key_cols)
+    schema = f"{fields}, polygon array<array<array<double>>>, clip_status string"
+    return polys.select(*(key_cols + [poly_col])).mapInPandas(kernel, schema)

@@ -264,7 +264,17 @@ def _knn_broadcast(
     tlat = tgt[t_lat].to_numpy(dtype=np.float64)
     n_t = len(tid)
     kk = min(k, n_t)
-    # chunk so the (chunk × n_targets) distance matrix stays ~32 MB
+    # candidate selection runs on 3D chord dot products, not haversine:
+    # nearest-on-the-sphere == largest dot of unit vectors (monotone in
+    # central angle), and the (chunk × T) score matrix becomes ONE BLAS
+    # matmul instead of a trig expression per pair — ~10× less compute.
+    # Exact haversine is then evaluated only for the k selected pairs.
+    trlat, trlon = np.radians(tlat), np.radians(tlon)
+    T3 = np.stack(
+        [np.cos(trlat) * np.cos(trlon), np.cos(trlat) * np.sin(trlon), np.sin(trlat)],
+        axis=1,
+    )
+    # chunk so the (chunk × n_targets) score matrix stays ~32 MB
     chunk = max(1, 4_000_000 // n_t)
     point_cols = [f.name for f in points.schema.fields]
 
@@ -275,25 +285,34 @@ def _knn_broadcast(
                 continue
             plon = pdf[lon_col].to_numpy(dtype=np.float64)
             plat = pdf[lat_col].to_numpy(dtype=np.float64)
+            prlat, prlon = np.radians(plat), np.radians(plon)
+            P3 = np.stack(
+                [
+                    np.cos(prlat) * np.cos(prlon),
+                    np.cos(prlat) * np.sin(prlon),
+                    np.sin(prlat),
+                ],
+                axis=1,
+            )
             for s in range(0, n, chunk):
                 e = min(n, s + chunk)
-                d = geom.haversine_m(
-                    plat[s:e, None], plon[s:e, None], tlat[None, :], tlon[None, :]
-                )
+                dots = P3[s:e] @ T3.T
                 if kk == 1:
-                    # tid is sorted ascending and argmin takes the first
-                    # minimum → smallest id wins exact ties
-                    j = np.argmin(d, axis=1)[:, None]
+                    # tid is sorted ascending and argmax takes the first
+                    # maximum → smallest id wins exact ties
+                    j = np.argmax(dots, axis=1)[:, None]
                 else:
-                    keys_id = np.broadcast_to(tid, d.shape)
-                    j = np.lexsort((keys_id, d), axis=-1)[:, :kk]
+                    keys_id = np.broadcast_to(tid, dots.shape)
+                    j = np.lexsort((keys_id, -dots), axis=-1)[:, :kk]
                 rows = np.repeat(np.arange(s, e), kk)
                 jf = j.ravel()
                 out = pdf.iloc[rows][point_cols].reset_index(drop=True)
                 out[target_key] = tid[jf]
                 out[t_lon] = tlon[jf]
                 out[t_lat] = tlat[jf]
-                out["_dist_m"] = np.take_along_axis(d, j, axis=1).ravel()
+                out["_dist_m"] = geom.haversine_m(
+                    np.repeat(plat[s:e], kk), np.repeat(plon[s:e], kk), tlat[jf], tlon[jf]
+                )
                 yield out
 
     return points.mapInPandas(gen, schema)

@@ -924,8 +924,77 @@ def ivf_trained_rowsonly(spark, sf_dir):
     )
 
 
+def polygon_clip_rowsonly(spark, sf_dir):
+    """G5b — boolean overlay (A ∩ clip / A − clip) of the arithmetic
+    supplier octagons against a fixed AOI rectangle; emits ring/vertex
+    counts + shoelace area (µdeg², rounded) per supplier and op.
+    Geometry kernel — rows-only check (exactness is property-tested:
+    inclusion-exclusion vs union in test_geometry.py)."""
+    from ..operators import geoagg
+
+    octs = supplier_octagons(spark, sf_dir).filter(F.col("s_suppkey") <= 60)
+    import numpy as np
+
+    from .. import geometry as geom
+
+    first = octs.select(
+        F.min("s_suppkey").alias("k")
+    ).first()
+    if first["k"] is None:
+        return octs.select(
+            F.col("s_suppkey"), F.lit("x").alias("op"),
+            F.lit(0).alias("n_rings"), F.lit(0).alias("n_vertices"),
+            F.lit(0.0).alias("area_udeg2"),
+        ).limit(0)
+    # AOI: the bbox of the first octagon, shifted half a width — cuts
+    # through a deterministic subset of octagons
+    row = octs.orderBy("s_suppkey").first()
+    ring0 = np.asarray([[c[0], c[1]] for c in row["polygon"][0]])
+    mnx, mny, mxx, mxy = geom.bbox(ring0)
+    w = mxx - mnx
+    clip = [[
+        [mnx + 0.5 * w, mny - 1.0], [mxx + 2.0, mny - 1.0],
+        [mxx + 2.0, mxy + 1.0], [mnx + 0.5 * w, mxy + 1.0],
+        [mnx + 0.5 * w, mny - 1.0],
+    ]]
+    outs = []
+    for op in ("intersection", "difference"):
+        cut = geoagg.clip_polygons(octs, clip, op=op)
+        area = F.aggregate(
+            F.transform(
+                "polygon",
+                lambda ring: F.aggregate(
+                    F.zip_with(
+                        F.slice(ring, 1, F.size(ring) - 1),
+                        F.slice(ring, 2, F.size(ring) - 1),
+                        lambda a, b: a[0] * b[1] - b[0] * a[1],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) * F.lit(0.5e12)
+        outs.append(
+            cut.select(
+                "s_suppkey",
+                F.lit(op).alias("op"),
+                F.size("polygon").alias("n_rings"),
+                F.aggregate(
+                    F.transform("polygon", lambda r: F.size(r)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).alias("n_vertices"),
+                F.round(area, 3).alias("area_udeg2"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("s_suppkey", "op")
+
+
 _ROWS_ONLY = {
     "ann_ivf_trained": ivf_trained_rowsonly,
+    "g5b_polygon_clip": polygon_clip_rowsonly,
 }
 
 

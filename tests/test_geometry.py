@@ -190,3 +190,82 @@ def test_dissolve_salted_matches_unsalted(spark):
     # identical coverage away from ring boundaries (vertex order may
     # differ between association orders; allow a tiny epsilon band)
     assert (a == b).mean() > 0.995
+
+
+# ---------------------------------------------------------------------------
+# Boolean overlay: intersection / difference (extends G5's machinery)
+# ---------------------------------------------------------------------------
+
+
+def _sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+
+
+def _area(rings):
+    return sum(g.signed_area(r) for r in rings)
+
+
+def test_intersection_difference_basic():
+    A, B = [_sq(0, 0, 4, 4)], [_sq(2, 2, 6, 6)]
+    assert abs(_area(g.polygon_intersection(A, B)) - 4.0) < 1e-9
+    assert abs(_area(g.polygon_difference(A, B)) - 12.0) < 1e-9
+
+
+def test_intersection_disjoint_and_nested():
+    A = [_sq(0, 0, 4, 4)]
+    assert g.polygon_intersection(A, [_sq(10, 10, 11, 11)]) == []
+    # nested subtrahend -> outer ring + CW hole
+    hole = g.polygon_difference(A, [_sq(1, 1, 2, 2)])
+    assert abs(_area(hole) - 15.0) < 1e-9
+    assert len(hole) == 2 and min(g.signed_area(r) for r in hole) < 0
+    # subtrahend covers minuend
+    assert g.polygon_difference(A, [_sq(-1, -1, 5, 5)]) == []
+
+
+def test_overlay_inclusion_exclusion_random():
+    rng = np.random.default_rng(17)
+    for _ in range(25):
+        pa = g.convex_hull(rng.uniform(0, 10, (12, 2)))
+        pb = g.convex_hull(rng.uniform(3, 13, (12, 2)))
+        try:
+            au = _area(g.polygon_union([pa, pb]))
+            ai = _area(g.polygon_intersection([pa], [pb]))
+            ad = _area(g.polygon_difference([pa], [pb]))
+        except g.UnionError:
+            continue
+        assert abs((au + ai) - (g.signed_area(pa) + g.signed_area(pb))) < 1e-6
+        assert abs(ad - (g.signed_area(pa) - ai)) < 1e-6
+
+
+def test_clip_polygons_spark(spark):
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import geoagg
+
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": [0, 1],
+                "polygon": [
+                    [_sq(0, 0, 4, 4).tolist()],
+                    [_sq(10, 10, 11, 11).tolist()],
+                ],
+            }
+        ),
+        schema="pid long, polygon array<array<array<double>>>",
+    )
+    clip = [_sq(2, 2, 6, 6).tolist()]
+    out = geoagg.clip_polygons(polys, clip, op="intersection").toPandas()
+    # disjoint row dropped; overlapping row clipped to the 2x2 square
+    assert list(out["pid"]) == [0] and list(out["clip_status"]) == ["clipped"]
+    ring = np.asarray([[float(c[0]), float(c[1])] for c in out["polygon"][0][0]])
+    assert abs(g.signed_area(ring) - 4.0) < 1e-9
+    out_d = geoagg.clip_polygons(polys, clip, op="difference").toPandas()
+    assert sorted(out_d["pid"]) == [0, 1]
+    a0 = _area(
+        [
+            np.asarray([[float(c[0]), float(c[1])] for c in r])
+            for r in out_d.set_index("pid").loc[0, "polygon"]
+        ]
+    )
+    assert abs(a0 - 12.0) < 1e-9
