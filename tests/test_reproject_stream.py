@@ -186,3 +186,50 @@ def test_stateful_stream_dedup_across_batches(spark, images_pd, tmp_path):
     assert got2["phash"].is_unique
     assert len(got2) == images_pd["phash"].nunique()
     assert not got2["image_id"].str.endswith("_dup").any()
+
+
+def test_streaming_geojson_sink_resumes(spark, feed, feed_pd, tmp_path):
+    """Stop drops → per-batch FeatureCollections; restart emits only
+    new batches (checkpointed source log = exactly-once files)."""
+    import glob
+    import json
+
+    from gtfs_to_geojson_spark.streaming import stream_geojson as SG
+
+    in_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "gj")
+    ckpt = str(tmp_path / "ckpt")
+    stops_pd = feed_pd["stops"]
+    half = len(stops_pd) // 2
+    first = feed["stops"].sparkSession.createDataFrame(
+        stops_pd.iloc[:half], schema=feed["stops"].schema
+    )
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+    SG.run_stream_stops_geojson(
+        spark, in_dir, feed, out_dir, ckpt, timeout_s=120
+    ).awaitTermination()
+    files1 = sorted(glob.glob(out_dir + "/*.geojson"))
+    assert len(files1) >= 1
+    fc = json.load(open(files1[0]))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) > 0
+    # every emitted feature is a used stop from the first drop
+    ids1 = {
+        f["properties"]["stop_id"] for fn in files1 for f in json.load(open(fn))["features"]
+    }
+    assert ids1 <= set(stops_pd.iloc[:half]["stop_id"])
+
+    # second drop + restart: only NEW batch files appear
+    second = feed["stops"].sparkSession.createDataFrame(
+        stops_pd.iloc[half:], schema=feed["stops"].schema
+    )
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    SG.run_stream_stops_geojson(
+        spark, in_dir, feed, out_dir, ckpt, timeout_s=120
+    ).awaitTermination()
+    files2 = sorted(glob.glob(out_dir + "/*.geojson"))
+    assert len(files2) > len(files1)
+    new = [f for f in files2 if f not in files1]
+    ids2 = {
+        f["properties"]["stop_id"] for fn in new for f in json.load(open(fn))["features"]
+    }
+    assert ids2 and ids2.isdisjoint(ids1)
