@@ -193,11 +193,80 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# dctq — a real LOSSY codec (8×8 DCT + uniform quantization + zlib)
+# ---------------------------------------------------------------------------
+# The input_hint's per-row invariant distinguishes lossless (bit-exact)
+# from lossy (decoded-pixel PSNR ≥ 40 dB). The sandbox whitelist above
+# is all lossless, which would leave the ≥40 dB gate vacuous — dctq is
+# a deterministic numpy JPEG-analog (blockwise type-II DCT, uniform
+# quantizer, zlib entropy stage) that exercises it for real.
+
+DCTQ_Q = 6.0  # uniform quantization step — ~46 dB on random uint8 noise
+
+
+def _dct_matrix(n: int = 8) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT8 = _dct_matrix(8)
+
+
+def _blockify(ch: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = ch.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    p = np.pad(ch, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    H, W = p.shape
+    b = p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    return b, h, w
+
+
+def encode_dctq(pixels: np.ndarray, q: float = DCTQ_Q) -> bytes:
+    """Lossy encode: per channel, 8×8 DCT → round(coef/q) int16 → zlib."""
+    h, w, _ = pixels.shape
+    planes = []
+    for c in range(3):
+        b, _, _ = _blockify(pixels[:, :, c])
+        coefs = _DCT8 @ b @ _DCT8.T
+        qc = np.round(coefs / q).astype(np.int16)
+        planes.append(qc.tobytes())
+    header = b"DQ1" + np.asarray([h, w], dtype=np.int32).tobytes() + np.asarray(
+        [q], dtype=np.float64
+    ).tobytes()
+    return header + zlib.compress(b"".join(planes), 6)
+
+
+def decode_dctq(data: bytes) -> np.ndarray:
+    if data[:3] != b"DQ1":
+        raise ValueError("not a dctq payload")
+    h, w = np.frombuffer(data[3:11], dtype=np.int32)
+    q = float(np.frombuffer(data[11:19], dtype=np.float64)[0])
+    raw = zlib.decompress(data[19:])
+    H, W = h + ((-h) % 8), w + ((-w) % 8)
+    n_block = (H // 8) * (W // 8) * 64
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        qc = np.frombuffer(
+            raw[c * n_block * 2 : (c + 1) * n_block * 2], dtype=np.int16
+        ).reshape(H // 8, W // 8, 8, 8).astype(np.float64)
+        blocks = _DCT8.T @ (qc * q) @ _DCT8
+        plane = blocks.transpose(0, 2, 1, 3).reshape(H, W)
+        out[:, :, c] = np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+    return out
+
+
+LOSSY_FORMATS = ("dctq",)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
-_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
-_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
+_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png, "dctq": encode_dctq}
+_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png, "dctq": decode_dctq}
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:

@@ -78,7 +78,10 @@ def decode_tile_assign(images: DataFrame, res: int) -> DataFrame:
     Arrow-batched pass over the binary column. This is the heavyweight
     variant of spatial.assign_images_to_tiles (which trusts the stored
     phash and stays JVM-side); use this one when ingesting untrusted
-    bytes. Returns (image_id, caption, tile, phash_match)."""
+    bytes. Returns (image_id, caption, tile, phash_match) —
+    ``phash_match`` is the per-row verification verdict: hash equality
+    for lossless formats, codec-roundtrip PSNR ≥ 40 dB for lossy
+    (input_hint contract); callers filter on it."""
     from .. import cells
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,9 +93,15 @@ def decode_tile_assign(images: DataFrame, res: int) -> DataFrame:
                 zip(pdf["bytes"], pdf["fmt"], pdf["phash"])
             ):
                 px = img.decode(bytes(data), fmt)
-                p = img.phash64(px)
-                ph[i] = p
-                ok[i] = p == int(stored)
+                ph[i] = int(stored)
+                if fmt in img.LOSSY_FORMATS:
+                    # lossy contract (input_hint): decoded-pixel PSNR ≥ 40 dB
+                    # on the codec roundtrip; phash equality is a lossless-
+                    # only invariant (quantization may flip hash bits)
+                    rt = img.decode(img.encode(px, fmt), fmt)
+                    ok[i] = img.psnr(px, rt) >= 40.0
+                else:
+                    ok[i] = img.phash64(px) == int(stored)
             lon, lat = img.geotag_from_phash(ph)
             tile = cells.encode(lat, lon, res)
             yield pd.DataFrame(

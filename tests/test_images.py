@@ -125,3 +125,56 @@ def test_images_table_invariants(images_pd):
         assert px.shape == (r["h"], r["w"], 3)
         assert I.phash64(px) == r["phash"]
         assert isinstance(r["caption"], str) and len(r["caption"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# dctq — the lossy codec exercising the PSNR>=40dB contract for real
+# ---------------------------------------------------------------------------
+
+
+def test_dctq_roundtrip_psnr_and_determinism():
+    rng = np.random.default_rng(3)
+    for shape in [(16, 16, 3), (17, 23, 3), (64, 48, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = I.encode(px, "dctq")
+        assert data == I.encode(px, "dctq")  # deterministic bytes
+        back = I.decode(data, "dctq")
+        assert back.shape == px.shape
+        assert I.psnr(px, back) >= 40.0
+        # lossy: NOT bit-exact (otherwise the gate is vacuous)
+        assert not np.array_equal(px, back)
+
+
+def test_dctq_smooth_images_compress():
+    ramp = np.clip(
+        np.add.outer(np.arange(32), np.arange(32))[:, :, None]
+        * np.array([2, 3, 4])[None, None, :],
+        0, 255,
+    ).astype(np.uint8)
+    data = I.encode(ramp, "dctq")
+    assert len(data) < ramp.nbytes // 4
+    assert I.psnr(ramp, I.decode(data, "dctq")) >= 40.0
+
+
+def test_decode_tile_assign_verifies_lossy(spark):
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import multimodal
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        fmt = "dctq" if i % 2 == 0 else "png"
+        rows.append(
+            (f"im_{i:03d}", I.encode(px, fmt), 16, 16, fmt, f"cap {i}", I.phash64(px))
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]),
+        schema="image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    out = multimodal.decode_tile_assign(df, res=12).toPandas()
+    # every row verifies: lossless by hash equality, lossy by PSNR>=40
+    assert out["phash_match"].all()
+    # caption equality invariant carried through untouched
+    assert sorted(out["caption"]) == sorted(f"cap {i}" for i in range(12))
