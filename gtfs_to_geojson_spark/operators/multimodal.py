@@ -173,3 +173,54 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
     return audio.mapInPandas(
         kernel, "audio_id string, duration_s double, rms double, zero_crossings long"
     )
+
+
+def color_embedding(images: DataFrame, grid: int = 4) -> DataFrame:
+    """Image → content embedding: per-cell mean RGB on a grid×grid
+    layout, centered by the image mean and L2-normalized — a
+    deterministic, library-free stand-in for a learned visual
+    embedding. Centering matters: raw cell means of any two images
+    share the brightness component and fake high cosine; centered
+    vectors make unrelated images near-orthogonal while re-encodes
+    (including lossy dctq) stay at cosine ≈ 1. Returns
+    (image_id, fmt, embedding array<double>)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = img.decode(bytes(data), fmt).astype(np.float64)
+                h, w, _ = px.shape
+                cells_ = np.empty((grid, grid, 3), dtype=np.float64)
+                for gy in range(grid):
+                    y0, y1 = h * gy // grid, max(h * (gy + 1) // grid, h * gy // grid + 1)
+                    for gx in range(grid):
+                        x0, x1 = w * gx // grid, max(w * (gx + 1) // grid, w * gx // grid + 1)
+                        cells_[gy, gx] = px[y0:y1, x0:x1].mean(axis=(0, 1))
+                e = (cells_ - px.mean(axis=(0, 1))).ravel()
+                n = np.linalg.norm(e)
+                embs.append((e / n if n > 1e-12 else e).tolist())
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"], "fmt": pdf["fmt"], "embedding": embs}
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, "image_id string, fmt string, embedding array<double>"
+    )
+
+
+def image_near_dup_pairs(
+    images: DataFrame, threshold: float = 0.98, grid: int = 4
+) -> DataFrame:
+    """Cross-format visual near-dup detection: the training-data
+    composition the pieces were built for — decode (any codec in the
+    whitelist, lossless or lossy) → color-grid embedding → bucketed
+    embedding-cosine pair search (dedup.embedding_near_dup_pairs).
+    Finds the same picture stored twice under different formats /
+    compression, which exact byte- or phash-dedup can miss."""
+    from . import dedup
+
+    emb = color_embedding(images, grid)
+    return dedup.embedding_near_dup_pairs(
+        emb, threshold=threshold, id_col="image_id", vec_col="embedding"
+    )

@@ -178,3 +178,37 @@ def test_decode_tile_assign_verifies_lossy(spark):
     assert out["phash_match"].all()
     # caption equality invariant carried through untouched
     assert sorted(out["caption"]) == sorted(f"cap {i}" for i in range(12))
+
+
+def test_image_near_dup_across_formats(spark):
+    """The same picture stored as png AND as lossy dctq must pair up;
+    unrelated structured images must not."""
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import multimodal
+
+    rng = np.random.default_rng(5)
+    rows = []
+    base_px = {}
+    for i in range(8):
+        # structured content: oriented gradients + random color mix
+        gy, gx = np.mgrid[0:16, 0:16]
+        a, b, c = rng.uniform(-4, 4, 3)
+        plane = a * gy + b * gx + c * (gy - gx)
+        px = np.clip(
+            plane[:, :, None] * rng.uniform(0.5, 2.0, 3)[None, None, :] + 128, 0, 255
+        ).astype(np.uint8)
+        base_px[i] = px
+        rows.append((f"orig_{i}", I.encode(px, "png"), 16, 16, "png", f"c{i}", I.phash64(px)))
+    for i in (1, 4):  # re-encode two of them lossily under new ids
+        px = base_px[i]
+        rows.append(
+            (f"dup_{i}", I.encode(px, "dctq"), 16, 16, "dctq", f"c{i}", I.phash64(px))
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]),
+        schema="image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    pairs = multimodal.image_near_dup_pairs(df, threshold=0.98).toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert got == {("dup_1", "orig_1"), ("dup_4", "orig_4")}
