@@ -273,3 +273,55 @@ def stop_derived_linestrings(
     )
     lines = st.groupBy("route_id", "direction_id").applyInPandas(kernel, out_schema)
     return lines.join(broadcast(route_props(routes, route_attributes)), "route_id")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_payload_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join (engine-new; the custom temporal operator Spark lacks
+    natively): attach to every left row the most recent right row with
+    ``right.ts <= left.ts`` within the same key.
+
+    Scale shape: NOT a range cross join. Both sides are tagged, unioned,
+    and a single running ``last(payload, ignoreNulls)`` window over
+    ``(ts, side)`` per key carries the latest right payload forward to
+    each left row — one shuffle on the key, state bounded by one payload
+    per row, no candidate blowup however dense the right side is.
+
+    Determinism: right rows sort before left rows at equal ts (ties at
+    the same instant match), and callers must pre-deduplicate right
+    rows sharing (key, ts) — same contract DuckDB's native ASOF JOIN
+    leaves implementation-defined. Output: all left columns + struct
+    column ``_asof`` with the matched right payload (null when no right
+    row precedes; dropped when how='inner')."""
+    payload = F.struct(*[F.col(c) for c in right_payload_cols]).alias("_asof")
+    r = right.select(
+        F.col(key_col), F.col(ts_col), F.lit(0).alias("_side"), payload
+    )
+    payload_t = r.schema["_asof"].dataType
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+    ).withColumn("_side", F.lit(1)).withColumn(
+        "_asof", F.lit(None).cast(payload_t)
+    )
+    u = l.select(key_col, ts_col, "_side", "_asof", *[c for c in left_cols if c not in (key_col, ts_col)]).unionByName(
+        r, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_asof", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_side") == 1).drop("_side", "_asof").withColumnRenamed("_m", "_asof")
+    if how == "inner":
+        out = out.filter(F.col("_asof").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    return out

@@ -25,7 +25,7 @@ from pyspark.sql.functions import broadcast
 
 from .. import cells
 from ..functions.geo import haversine_m, sanitize_filename, yyyymmdd
-from ..operators import dedup, similarity, spatial, text
+from ..operators import dedup, relational, similarity, spatial, text
 
 # ---------------------------------------------------------------------------
 # deterministic key → coordinate derivation (identical in SQL)
@@ -908,6 +908,66 @@ def ann_ivf_topk(spark, sf_dir):
     )
     out = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
     return out.select("q_id", "vec_id", "rank")
+
+
+# ---- as-of join (engine-new temporal operator; oracle = DuckDB's
+# native ASOF JOIN) ----
+# Most recent click at-or-before each purchase, per user. The Spark
+# side is the union+running-window formulation (one shuffle, no range
+# blowup — relational.asof_join); DuckDB validates it with its native
+# ASOF LEFT JOIN. Right side pre-deduplicated on (user, ts) keeping
+# max event_id — the tie rule both engines then agree on. Timestamps
+# emitted as integer µs (cross-engine serialization convention).
+@q(
+    "asof_join",
+    """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), c AS (
+  SELECT user_id, ts, click_id, click_value FROM clicks WHERE rn = 1
+), p AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       epoch_us(p.ts) AS purchase_us,
+       c.click_id AS click_id, c.click_value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_join_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = relational.asof_join(
+        purchases, clicks, key_col="user_id", ts_col="ts",
+        right_payload_cols=["click_id", "click_value"],
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.col("_asof.click_id").alias("click_id"),
+        F.col("_asof.click_value").alias("click_value"),
+    )
 
 
 # kmeans-trained IVF stays rows-only: the codebook is the fixpoint of

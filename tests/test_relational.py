@@ -115,3 +115,37 @@ def test_stop_derived_linestrings(feed):
     for coords in out["coordinates"]:
         assert len(coords) >= 2
         assert all(c[0] is not None and c[1] is not None for c in coords)
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """asof_join (union + running window) vs per-row brute force."""
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import relational
+
+    left_pd = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2, 3], "t": [10, 25, 5, 7, 30, 4], "lid": [0, 1, 2, 3, 4, 5]}
+    )
+    right_pd = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 9], "t": [10, 20, 6, 29, 1], "rid": [100, 101, 102, 103, 104],
+         "rv": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    left = spark.createDataFrame(left_pd, schema="k long, t long, lid long")
+    right = spark.createDataFrame(right_pd, schema="k long, t long, rid long, rv double")
+    out = relational.asof_join(
+        left, right, key_col="k", ts_col="t", right_payload_cols=["rid", "rv"]
+    ).toPandas()
+    got = {
+        int(r["lid"]): (None if r["_asof"] is None else int(r["_asof"]["rid"]))
+        for _, r in out.iterrows()
+    }
+    want = {}
+    for _, lrow in left_pd.iterrows():
+        cand = right_pd[(right_pd.k == lrow.k) & (right_pd.t <= lrow.t)]
+        want[int(lrow.lid)] = None if cand.empty else int(cand.loc[cand.t.idxmax(), "rid"])
+    assert got == want
+    # inner drops unmatched
+    inner = relational.asof_join(
+        left, right, key_col="k", ts_col="t", right_payload_cols=["rid"], how="inner"
+    )
+    assert inner.count() == sum(v is not None for v in want.values())
