@@ -100,3 +100,34 @@ def cover_range_predicate(
         p = (F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi))
         pred = p if pred is None else pred | p
     return pred if pred is not None else F.lit(False)
+
+
+def read_polygon_candidates(
+    spark: SparkSession,
+    path: str,
+    polygons,
+    cover_res: int,
+    data_res: int,
+):
+    """Scan-pruned spatial-join front end: given polygon rings (driver-
+    side list — the broadcast-dim side), compute their cell cover at
+    ``cover_res``, coalesce to Morton ranges at ``data_res``, and read
+    ONLY the matching slices of a Z-order-clustered point table. The
+    result is a candidate superset of any join against those polygons —
+    feed it to point_in_polygon_join / point_in_envelope_join exactly
+    as if it were the full table; pruning changed the scan, not the
+    semantics. At 10^12 rows this is the difference between scanning
+    the planet and scanning the city the polygons live in."""
+    import numpy as np
+
+    from .. import geometry as geom
+
+    cover: set[int] = set()
+    for rings in polygons:
+        outer = np.asarray(
+            [[float(c[0]), float(c[1])] for c in rings[0]], dtype=np.float64
+        )
+        mnx, mny, mxx, mxy = geom.bbox(outer)
+        cover.update(cells.cover_bbox(mnx, mny, mxx, mxy, cover_res).tolist())
+    pred = cover_range_predicate(sorted(cover), data_res)
+    return spark.read.parquet(path).filter(pred)

@@ -81,3 +81,35 @@ def test_cover_range_predicate_merges(spark, sorted_path):
     want_cells = cells.encode(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), 12)
     want = sorted(pdf["pid"].to_numpy()[np.isin(want_cells, [c0, c1])])
     assert got == want
+
+
+def test_scan_pruned_polygon_join_is_exact(spark, sorted_path):
+    """Layout-pruned J7 == full-table J7: pruning changes the scan,
+    not the join result."""
+    from gtfs_to_geojson_spark.operators import spatial
+
+    path, pdf = sorted_path
+    # a polygon inside the fixture's bbox
+    poly = [[
+        [-122.45, 37.74], [-122.39, 37.74], [-122.39, 37.80],
+        [-122.45, 37.80], [-122.45, 37.74],
+    ]]
+    polys_df = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "polygon": [poly]}),
+        schema="poly_id long, polygon array<array<array<double>>>",
+    )
+    pruned_pts = layout.read_polygon_candidates(
+        spark, path, [poly], cover_res=12, data_res=16
+    )
+    n_pruned = pruned_pts.count()
+    assert 0 < n_pruned < 20_000  # genuinely pruned
+    full_pts = spark.read.parquet(path)
+    got = sorted(
+        spatial.point_in_polygon_join(pruned_pts, polys_df, res=14)
+        .toPandas()["pid"]
+    )
+    want = sorted(
+        spatial.point_in_polygon_join(full_pts, polys_df, res=14)
+        .toPandas()["pid"]
+    )
+    assert got == want and len(want) > 0
