@@ -325,3 +325,40 @@ def asof_join(
     elif how != "left":
         raise ValueError(f"how must be left|inner, got {how!r}")
     return out
+
+
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_width: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval ⋈ point temporal join (engine-new): every (interval,
+    point) pair with ``start <= ts <= end`` — the 1D analog of the
+    spatial cell prejoin (J6). Values are integers (e.g. epoch µs).
+
+    Scale shape: each interval explodes to its covering buckets
+    (``sequence`` — ceil(len/width)+1 rows, bounded for bounded
+    intervals), each point maps to exactly ONE bucket; the bucket (plus
+    optional equi-keys) turns the range theta join into a hash join,
+    and the exact residual runs after. No O(|I|·|P|) blowup, skew
+    handled by AQE like any hash join."""
+    key_cols = key_cols or []
+    b = F.lit(int(bucket_width)).cast("long")
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col).cast("long") / b).cast("long"),
+                (F.col(end_col).cast("long") / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", (F.col(ts_col).cast("long") / b).cast("long"))
+    joined = pt.join(iv, ["_bucket"] + key_cols)
+    return joined.filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    ).drop("_bucket")

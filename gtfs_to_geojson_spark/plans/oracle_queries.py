@@ -970,6 +970,39 @@ def asof_join_q(spark, sf_dir):
     )
 
 
+# ---- interval-point temporal join (1D bucket prejoin + residual) ----
+# Clicks landing within one hour after a signup, per user: intervals
+# [signup_ts, signup_ts + 1h] ⋈ click points. The Spark side is the
+# bucket-prejoin formulation (the 1D twin of J6's cell prejoin); the
+# oracle is the plain theta join.
+@q(
+    "t1_interval_join",
+    """
+SELECT s.event_id AS signup_id, c.event_id AS click_id, s.user_id AS user_id
+FROM (SELECT event_id, user_id, epoch_us(ts) AS t0 FROM events WHERE event_type = 'signup') s
+JOIN (SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click') c
+  ON s.user_id = c.user_id AND c.t >= s.t0 AND c.t <= s.t0 + 3600000000
+""",
+)
+def t1_interval_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        us.alias("t0"),
+        (us + F.lit(3600000000).cast("long")).alias("t1"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us.alias("t")
+    )
+    out = relational.interval_point_join(
+        signups, clicks, start_col="t0", end_col="t1", ts_col="t",
+        bucket_width=3600000000, key_cols=["user_id"],
+    )
+    return out.select("signup_id", "click_id", "user_id")
+
+
 # kmeans-trained IVF stays rows-only: the codebook is the fixpoint of
 # an iterative distributed Lloyd's loop — not SQL-expressible.
 def ivf_trained_rowsonly(spark, sf_dir):

@@ -149,3 +149,40 @@ def test_asof_join_matches_bruteforce(spark):
         left, right, key_col="k", ts_col="t", right_payload_cols=["rid"], how="inner"
     )
     assert inner.count() == sum(v is not None for v in want.values())
+
+
+def test_interval_point_join_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import relational
+
+    rng = np.random.default_rng(13)
+    iv_pd = pd.DataFrame(
+        {
+            "iid": np.arange(20),
+            "k": rng.integers(0, 4, 20),
+            "t0": rng.integers(0, 1000, 20),
+        }
+    )
+    iv_pd["t1"] = iv_pd["t0"] + rng.integers(0, 250, 20)  # spans several buckets
+    pt_pd = pd.DataFrame(
+        {
+            "pid": np.arange(60),
+            "k": rng.integers(0, 4, 60),
+            "t": rng.integers(0, 1300, 60),
+        }
+    )
+    iv = spark.createDataFrame(iv_pd, schema="iid long, k long, t0 long, t1 long")
+    pt = spark.createDataFrame(pt_pd, schema="pid long, k long, t long")
+    out = relational.interval_point_join(
+        iv, pt, "t0", "t1", "t", bucket_width=64, key_cols=["k"]
+    ).toPandas()
+    got = {(int(r["iid"]), int(r["pid"])) for _, r in out.iterrows()}
+    want = {
+        (int(i.iid), int(p.pid))
+        for _, i in iv_pd.iterrows()
+        for _, p in pt_pd.iterrows()
+        if i.k == p.k and i.t0 <= p.t <= i.t1
+    }
+    assert got == want and len(want) > 0
