@@ -268,3 +268,53 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    n_salts: int = 8,
+    id_salt_col: str | None = None,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    mergeable-sketch pattern done as a two-phase DataFrame aggregation.
+
+    Sketch state = the k smallest md5-derived hash values of the
+    group's values; merge = union + re-take-k-smallest (associative,
+    commutative). Phase 1 computes a partial sketch per (group, salt)
+    — state bounded at k rows each, map-side combinable; phase 2 merges
+    the ≤ n_salts partials per group. Estimator: exact |sketch| when
+    the group holds < k distinct values, else (k-1) / (kth_min / 2^60)
+    (hashes are uniform on [0, 2^60)).
+
+    Deterministic and engine-stable: the DuckDB oracle recomputes the
+    identical sketch, so the ESTIMATE matches exactly — a sketch whose
+    correctness gate is equality, not tolerance."""
+    h = _md5_long(F.col(value_col).cast("string"))
+    salt = (
+        F.pmod(F.xxhash64(F.col(id_salt_col)), F.lit(n_salts))
+        if id_salt_col
+        else F.pmod(h, F.lit(n_salts))
+    )
+    partial = (
+        df.select(*group_cols, h.alias("_h"), salt.alias("_salt"))
+        .groupBy(*group_cols, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_kmv"))
+    )
+    merged = partial.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list("_kmv")))), 1, k).alias(
+            "_kmv"
+        )
+    )
+    size = F.size("_kmv")
+    kth = F.element_at("_kmv", k).cast("double")
+    est = F.when(size < k, size.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (kth / F.lit(float(1 << 60)))
+    )
+    return merged.select(
+        *group_cols,
+        size.alias("n_sketch"),
+        F.round(est, 4).alias("est_distinct"),
+    )

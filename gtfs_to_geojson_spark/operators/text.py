@@ -111,3 +111,24 @@ def fingerprint(docs: DataFrame, shingle_n: int = 8, text_col: str = "text", id_
         F.col(id_col),
         F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("fingerprint"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates_per_million: dict[str, int],
+    default_rate: int = 0,
+) -> DataFrame:
+    """Deterministic stratified downsampling (training-data op): a row
+    survives iff its md5-derived id hash lands under its stratum's
+    per-million rate. No RNG state, no shuffle, re-runnable — the same
+    subset falls out on every engine and every run (the property that
+    makes a training-data cut auditable). Rates are integers per
+    million, so the threshold compare is exact integer arithmetic."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(1_000_000))
+    rate = F.lit(default_rate)
+    for stratum, r in rates_per_million.items():
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(int(r))).otherwise(rate)
+    return df.filter(bucket < rate)

@@ -1003,6 +1003,72 @@ def t1_interval_join(spark, sf_dir):
     return out.select("signup_id", "click_id", "user_id")
 
 
+# ---- KMV distinct-count sketch (mergeable sketch, exact oracle) ----
+# The sketch state (k smallest md5 hashes) is deterministic, so the
+# oracle recomputes the identical sketch and the ESTIMATE matches
+# exactly — a sketch gated on equality, not tolerance.
+@q(
+    "kmv_distinct",
+    """
+WITH h AS (
+  SELECT DISTINCT l_returnflag AS flag,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM lineitem
+), r AS (
+  SELECT flag, hv, row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn FROM h
+), sel AS (
+  SELECT flag, hv, rn FROM r WHERE rn <= 64
+), agg AS (
+  SELECT flag, count(*) AS n_sketch, max(hv) AS kth FROM sel GROUP BY flag
+)
+SELECT flag, CAST(n_sketch AS INT) AS n_sketch,
+       round(
+         CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+              ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END,
+         4
+       ) AS est_distinct
+FROM agg
+""",
+)
+def kmv_distinct_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = dedup.kmv_distinct(
+        li, group_cols=["l_returnflag"], value_col="l_partkey", k=64
+    )
+    return out.withColumnRenamed("l_returnflag", "flag")
+
+
+# ---- deterministic stratified sampling (training-data downsampling) ----
+# Hash-threshold sampling: a row survives iff md5(id) mod 10^6 falls
+# under its stratum's per-million rate — deterministic, re-runnable,
+# engine-stable (the standard way to cut a reproducible training
+# subset without a global shuffle or RNG state).
+@q(
+    "sample_stratified",
+    """
+SELECT doc_id, lang
+FROM (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang
+      FROM documents)
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000 ELSE 1000000 END
+""",
+)
+def sample_stratified_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "en")
+        .when(F.col("doc_id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    from ..operators.text import stratified_sample
+
+    return stratified_sample(
+        docs, stratum_col="lang", id_col="doc_id",
+        rates_per_million={"en": 250000, "de": 500000, "fr": 1000000},
+    )
+
+
 # kmeans-trained IVF stays rows-only: the codebook is the fixpoint of
 # an iterative distributed Lloyd's loop — not SQL-expressible.
 def ivf_trained_rowsonly(spark, sf_dir):

@@ -169,3 +169,34 @@ def test_ivf_trained_recall_not_worse(spark, emb):
         return len(got & truth) / len(truth)
 
     assert recall(3) >= recall(0) - 1e-9
+
+
+def test_kmv_distinct_accuracy_and_exact_small(spark):
+    import pandas as pd
+
+    # group A: 40 distinct (< k → exact); group B: 5000 distinct (estimated)
+    rows = [("A", i % 40) for i in range(400)] + [("B", i) for i in range(5000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
+    out = dedup.kmv_distinct(df, ["g"], "v", k=64).toPandas().set_index("g")
+    assert out.loc["A", "n_sketch"] == 40 and out.loc["A", "est_distinct"] == 40.0
+    est_b = out.loc["B", "est_distinct"]
+    assert 0.7 * 5000 < est_b < 1.3 * 5000  # KMV k=64 → ~12% rel. error
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(20000), "s": ["a" if i % 2 else "b" for i in range(20000)]})
+    )
+    out = T.stratified_sample(
+        df, "s", "id", {"a": 100000, "b": 900000}
+    ).toPandas()
+    got_a = (out["s"] == "a").sum() / 10000
+    got_b = (out["s"] == "b").sum() / 10000
+    assert abs(got_a - 0.1) < 0.02 and abs(got_b - 0.9) < 0.02
+    # deterministic: identical subset on re-run
+    out2 = T.stratified_sample(df, "s", "id", {"a": 100000, "b": 900000}).toPandas()
+    assert sorted(out["id"]) == sorted(out2["id"])
