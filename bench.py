@@ -353,6 +353,78 @@ def main():
             best_of=reps,
         )
 
+        # temporal operators at scale: events replicated EVENT_FACTOR×
+        # with shifted timestamps (distinct event streams per replica)
+        event_factor = int(os.environ.get("SPARK_GRAFT_EVENT_FACTOR", "64"))
+
+        def events_cache() -> str:
+            sf_tag = sf_dir.rstrip("/").replace("/", "_")
+            path = f"/tmp/spark_graft_bench_events_{sf_tag}_{event_factor}.parquet"
+            if os.path.exists(path):
+                return path
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+                "event_id", "ts", "user_id", "event_type"
+            )
+            rep = ev.withColumn(
+                "_ep", F.explode(F.sequence(F.lit(0), F.lit(event_factor - 1)))
+            )
+            out = rep.select(
+                (F.col("event_id") * event_factor + F.col("_ep")).alias("event_id"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+                (F.col("user_id") + F.col("_ep") * F.lit(1000)).alias("user_id"),
+                "event_type",
+            ).repartition(64)
+            out.write.mode("overwrite").parquet(path)
+            return path
+
+        events_cache()  # build outside the timed region
+
+        def bench_asof():
+            from gtfs_to_geojson_spark.operators import relational
+
+            ev = spark.read.parquet(events_cache())
+            clicks = ev.filter(F.col("event_type") == "click").select(
+                "user_id", F.col("t_us").alias("t"), F.col("event_id").alias("click_id")
+            )
+            purch = ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("t_us").alias("t"), F.col("event_id").alias("pid")
+            )
+            return relational.asof_join(
+                purch, clicks, key_col="user_id", ts_col="t",
+                right_payload_cols=["click_id"],
+            ).count()
+
+        run("asof_join", bench_asof, best_of=reps)
+
+        def bench_interval():
+            from gtfs_to_geojson_spark.operators import relational
+
+            ev = spark.read.parquet(events_cache())
+            signups = ev.filter(F.col("event_type") == "signup").select(
+                F.col("event_id").alias("sid"), "user_id",
+                F.col("t_us").alias("t0"),
+                (F.col("t_us") + F.lit(3600000000).cast("long")).alias("t1"),
+            )
+            clicks = ev.filter(F.col("event_type") == "click").select(
+                F.col("event_id").alias("cid"), "user_id", F.col("t_us").alias("t")
+            )
+            return relational.interval_point_join(
+                signups, clicks, "t0", "t1", "t",
+                bucket_width=3600000000, key_cols=["user_id"],
+            ).count()
+
+        run("interval_join", bench_interval, best_of=reps)
+
+        def bench_kmv():
+            pts = spark.read.parquet(points_path).withColumn(
+                "_g", F.pmod(F.col("point_id"), F.lit(64))
+            )
+            return dedup.kmv_distinct(
+                pts, group_cols=["_g"], value_col="point_id", k=256
+            ).count()
+
+        run("kmv_distinct", bench_kmv, best_of=reps)
+
     if not headline_only:
         run_secondary()
 

@@ -1069,6 +1069,47 @@ def sample_stratified_q(spark, sf_dir):
     )
 
 
+# ---- exact per-group quantiles (order statistics, not approx) ----
+# Spark's percentile() is the exact order-statistic aggregate (linear
+# interpolation), matching DuckDB quantile_cont bit-for-bit on integer
+# inputs — deterministic cross-engine, unlike approx_percentile.
+@q(
+    "q1_group_quantiles",
+    """
+SELECT lang,
+       quantile_cont(n_tok, 0.5) AS p50_tokens,
+       quantile_cont(n_tok, 0.9) AS p90_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+  FROM documents
+)
+GROUP BY lang
+""",
+)
+def q1_group_quantiles(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    ).alias("n_tok")
+    lang = (
+        F.when(F.col("doc_id") % 3 == 0, "en")
+        .when(F.col("doc_id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang")
+    )
+    return (
+        docs.select(lang, n_tok)
+        .groupBy("lang")
+        .agg(
+            F.percentile("n_tok", F.lit(0.5)).alias("p50_tokens"),
+            F.percentile("n_tok", F.lit(0.9)).alias("p90_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 # kmeans-trained IVF stays rows-only: the codebook is the fixpoint of
 # an iterative distributed Lloyd's loop — not SQL-expressible.
 def ivf_trained_rowsonly(spark, sf_dir):
