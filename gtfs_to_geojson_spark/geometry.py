@@ -621,25 +621,40 @@ def _split_edges_against(
 def _classify_mids(
     mids: np.ndarray, polys: list[np.ndarray]
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(inside, on_boundary) of midpoints vs a set of disjoint rings."""
-    inside = points_in_multipolygon(mids[:, 0], mids[:, 1], [[r] for r in polys])
+    """(inside, on_boundary) of midpoints vs one side's boundary ring
+    set — even-odd across ALL rings, so CW hole rings (from a
+    pre-unioned side) subtract correctly."""
+    inside = points_in_polygon(mids[:, 0], mids[:, 1], polys)
     onb = np.zeros(len(mids), dtype=bool)
     for r in polys:
         onb |= _points_on_boundary(mids, r)
     return inside, onb
 
 
+def _normalize_side(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """One overlay side → its union's boundary rings (outers CCW,
+    holes CW). A single ring passes through; multiple rings — which
+    may overlap each other — are unioned first, so the overlay's
+    midpoint classification sees a clean planar boundary. Side
+    semantics are therefore 'the union of the given rings'."""
+    polys = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings]
+    if len(polys) <= 1:
+        return polys
+    return polygon_union(polys)
+
+
 def polygon_intersection(
     rings_a: list[np.ndarray], rings_b: list[np.ndarray]
 ) -> list[np.ndarray]:
-    """A ∩ B over two sets of disjoint simple CCW rings → boundary
-    rings (outers CCW, holes CW); [] when disjoint. Same overlay
-    machinery as polygon_union: split at cross-set intersections, keep
-    A sub-edges inside-or-on B and B sub-edges strictly inside A,
-    chain. Raises UnionError on degenerate tangency (callers fall back
-    exactly like union_or_parts)."""
-    pa = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings_a]
-    pb = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings_b]
+    """A ∩ B where each side is the union of its rings (overlapping
+    rings within a side are fine — the side is unioned first) →
+    boundary rings (outers CCW, holes CW); [] when disjoint. Same
+    overlay machinery as polygon_union: split at cross-set
+    intersections, keep A sub-edges inside-or-on B and B sub-edges
+    strictly inside A, chain. Raises UnionError on degenerate tangency
+    (callers fall back exactly like union_or_parts)."""
+    pa = _normalize_side(rings_a)
+    pb = _normalize_side(rings_b)
     Pa, Qa = _split_edges_against(pa, pb)
     Pb, Qb = _split_edges_against(pb, pa)
     inA, onA = _classify_mids(0.5 * (Pa + Qa), pb)
@@ -656,12 +671,13 @@ def polygon_intersection(
 def polygon_difference(
     rings_a: list[np.ndarray], rings_b: list[np.ndarray]
 ) -> list[np.ndarray]:
-    """A − B over two sets of disjoint simple CCW rings. Keeps A
-    sub-edges strictly outside B plus REVERSED B sub-edges strictly
-    inside A (which chain into CW hole rings when B is nested).
-    [] when B covers A; raises UnionError on degenerate tangency."""
-    pa = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings_a]
-    pb = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings_b]
+    """A − B where each side is the union of its rings (overlapping
+    rings within a side are unioned first). Keeps A sub-edges strictly
+    outside B plus REVERSED B sub-edges strictly inside A (which chain
+    into CW hole rings when B is nested). [] when B covers A; raises
+    UnionError on degenerate tangency."""
+    pa = _normalize_side(rings_a)
+    pb = _normalize_side(rings_b)
     Pa, Qa = _split_edges_against(pa, pb)
     Pb, Qb = _split_edges_against(pb, pa)
     inA, onA = _classify_mids(0.5 * (Pa + Qa), pb)

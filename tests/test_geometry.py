@@ -269,3 +269,27 @@ def test_clip_polygons_spark(spark):
         ]
     )
     assert abs(a0 - 12.0) < 1e-9
+
+
+def test_overlay_robust_on_overlapping_sides():
+    """Sides whose own rings overlap are unioned first; inclusion-
+    exclusion |A| = |A∩B| + |A−B| holds exactly across random
+    buffer-like clusters (no fallbacks, no area violations)."""
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        k = rng.integers(2, 10)
+        rings = []
+        for _ in range(k):
+            cx, cy = rng.uniform(0, 10, 2)
+            r = rng.uniform(0.5, 2.0)
+            ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+            rings.append(np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1))
+        a, b = rings[: k // 2 or 1], rings[k // 2 or 1 :] or [rings[0]]
+        ai = _area(g.polygon_intersection(a, b))
+        ad = _area(g.polygon_difference(a, b))
+        aa = (
+            _area(g.polygon_union(a))
+            if len(a) > 1
+            else g.signed_area(g.close_ring(a[0]))
+        )
+        assert abs(aa - (ai + ad)) < 1e-6
