@@ -144,3 +144,26 @@ def test_morton_col_matches_numpy(spark):
         .to_numpy()
     )
     assert np.array_equal(got, cells.morton_encode(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), 14))
+
+
+def test_cell_sql_is_valid_spark_sql_too(spark):
+    """cell_sql/morton_sql are written in the common SQL dialect: the
+    same text runs under Spark SQL and matches the Column
+    implementations — the DataFrame/SQL duality the engine promises
+    (one function, three engines: numpy, Column, SQL)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame(
+        {"lat": rng.uniform(-89.9, 89.9, 300), "lon": rng.uniform(-179.9, 179.9, 300)}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("pts_sqltest")
+    got = spark.sql(
+        f"SELECT {cells.cell_sql('lat', 'lon', 12)} AS c, "
+        f"{cells.morton_sql('lat', 'lon', 12)} AS m FROM pts_sqltest"
+    ).toPandas()
+    want_c = cells.encode(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), 12)
+    want_m = cells.morton_encode(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), 12)
+    assert np.array_equal(got["c"].to_numpy(), want_c)
+    assert np.array_equal(got["m"].to_numpy(), want_m)
