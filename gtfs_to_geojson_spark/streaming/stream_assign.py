@@ -19,19 +19,29 @@ IMAGE_SCHEMA = (
 )
 
 
-def stream_images(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_images(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """``max_files_per_trigger`` is the latency/throughput dial: small
+    batches bound end-to-end latency; large batches amortize per-batch
+    planning/commit overhead when draining a backlog (measured ~6× in
+    BENCH/STREAMING.md)."""
     return (
         spark.readStream.schema(IMAGE_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
 
-def stream_tile_assignments(spark: SparkSession, input_dir: str, res: int = 14) -> DataFrame:
+def stream_tile_assignments(
+    spark: SparkSession, input_dir: str, res: int = 14, max_files_per_trigger: int = 8
+) -> DataFrame:
     """Streaming J9a: identical operator call as the batch path."""
     from ..operators.spatial import assign_images_to_tiles
 
-    return assign_images_to_tiles(stream_images(spark, input_dir), res=res)
+    return assign_images_to_tiles(
+        stream_images(spark, input_dir, max_files_per_trigger), res=res
+    )
 
 
 def stream_windowed_tile_counts(
@@ -99,12 +109,13 @@ def run_stream_to_parquet(
     checkpoint_dir: str,
     res: int = 14,
     timeout_s: float | None = None,
+    max_files_per_trigger: int = 8,
 ):
     """Sink assignments to parquet with exactly-once file semantics —
     the streaming twin of the lineage manifest (checkpoint_dir holds
     the processed-files log, so a restart resumes without recompute).
     Returns the StreamingQuery (caller stops it / awaits timeout)."""
-    assigned = stream_tile_assignments(spark, input_dir, res)
+    assigned = stream_tile_assignments(spark, input_dir, res, max_files_per_trigger)
     q = (
         assigned.writeStream.format("parquet")
         .option("path", output_dir)
