@@ -233,3 +233,58 @@ def test_streaming_geojson_sink_resumes(spark, feed, feed_pd, tmp_path):
         f["properties"]["stop_id"] for fn in new for f in json.load(open(fn))["features"]
     }
     assert ids2 and ids2.isdisjoint(ids1)
+
+
+def test_stream_asof_matches_batch(spark, tmp_path):
+    """Streaming as-of enrichment across two drops + a restart equals
+    the batch asof_join when drops split at a time boundary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gtfs_to_geojson_spark.operators import relational
+    from gtfs_to_geojson_spark.streaming import stream_temporal as ST
+
+    rng = np.random.default_rng(31)
+    n = 600
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "t_us": rng.choice(np.arange(1, 100000, 7), n, replace=False).astype("int64"),
+            "user_id": rng.integers(0, 8, n),
+            "event_type": rng.choice(["click", "purchase"], n),
+        }
+    )
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    cut = int(np.median(ev["t_us"]))
+    sdf = lambda pdf: spark.createDataFrame(pdf, schema=ST.EVENT_SCHEMA)
+    sdf(ev[ev.t_us <= cut]).coalesce(1).write.mode("append").parquet(in_dir)
+    ST.run_stream_asof_to_parquet(spark, in_dir, out_dir, ckpt, timeout_s=120).awaitTermination()
+    sdf(ev[ev.t_us > cut]).coalesce(1).write.mode("append").parquet(in_dir)
+    ST.run_stream_asof_to_parquet(spark, in_dir, out_dir, ckpt, timeout_s=120).awaitTermination()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    clicks = sdf(ev).filter(F.col("event_type") == "click").select(
+        "user_id", F.col("t_us").alias("t"), F.col("event_id").alias("click_id")
+    )
+    purch = sdf(ev).filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t_us").alias("t"), F.col("event_id").alias("purchase_id")
+    )
+    want = (
+        relational.asof_join(
+            purch, clicks, key_col="user_id", ts_col="t", right_payload_cols=["click_id"]
+        )
+        .select("purchase_id", F.col("_asof.click_id").alias("click_id"))
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    g = got.set_index("purchase_id")["click_id"]
+    w = want.set_index("purchase_id")["click_id"]
+    pd.testing.assert_series_equal(g, w, check_dtype=False)
