@@ -1820,6 +1820,32 @@ def a13_cell_rollup(spark, sf_dir):
     )
 
 
+# ---- A14: CUBE over (event_type, hour-of-day) — completes the
+# grouping-sets family (A13 = ROLLUP on the cell hierarchy) ----
+@q(
+    "a14_cube",
+    """
+SELECT event_type, hod,
+       count(*) AS n,
+       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(hod) AS INT) AS g_hod
+FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hod, value FROM events)
+GROUP BY CUBE (event_type, hod)
+""",
+)
+def a14_cube(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hod"), "value"
+    )
+    return ev.cube("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value").cast("double"), 4).alias("sum_value"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("hod").cast("int").alias("g_hod"),
+    )
+
+
 # ---- S11: native session_window (streaming session op, batch mode) ----
 @q(
     "s11_session_window",
