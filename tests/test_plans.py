@@ -95,3 +95,41 @@ def test_semi_join_pushdown_shape(spark, feed):
     df = apply_query(feed["trips"], BaseQuery(service_ids=svc))
     plan = _plan(df)
     assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_asof_join_plan_shape(spark):
+    """asof_join must stay JVM-only with exactly one shuffle Exchange
+    (the per-key window) — no range-join blowup, no Python."""
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import relational
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [1], "lid": [1]}), schema="k long, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [1], "rid": [1]}), schema="k long, t long, rid long"
+    )
+    plan = _plan(relational.asof_join(left, right, "k", "t", ["rid"]))
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 2  # one shuffle (+ AQE wrappers)
+
+
+def test_interval_join_plan_is_hash_join(spark):
+    """The bucket prejoin must plan as a hash join, never a nested
+    loop over the range predicate."""
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import relational
+
+    iv = spark.createDataFrame(
+        pd.DataFrame({"iid": [1], "k": [1], "t0": [0], "t1": [10]}),
+        schema="iid long, k long, t0 long, t1 long",
+    )
+    pt = spark.createDataFrame(
+        pd.DataFrame({"pid": [1], "k": [1], "t": [5]}), schema="pid long, k long, t long"
+    )
+    plan = _plan(relational.interval_point_join(iv, pt, "t0", "t1", "t", 8, ["k"]))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan and "Python" not in plan
