@@ -328,6 +328,20 @@ def main():
             ).count(),
             best_of=reps,
         )
+        # j8c: the ring (large-target) strategy in its own regime —
+        # 200k targets force it past the broadcast threshold; res=None
+        # derives the grid from target density
+        def j8c_ring():
+            pts = li_points_1x()
+            tgt = pts.limit(200_000).select(
+                (F.col("point_id") + F.lit(10_000_000)).alias("target_id"),
+                F.col("lon").alias("t_lon"),
+                F.col("lat").alias("t_lat"),
+            )
+            return spatial.knn_join(pts, tgt, res=None, k=1, strategy="ring").count()
+
+        run("j8c_knn_ring_200k", j8c_ring, best_of=reps)
+
         run("j1_multiway_join", lambda: OQ.j1_multiway_join(spark, sf_dir).count(), best_of=reps)
         run(
             "a7_ordered_collect", lambda: OQ.a7_ordered_collect(spark, sf_dir).count(), best_of=reps

@@ -321,7 +321,7 @@ def _knn_broadcast(
 def knn_join(
     points: DataFrame,
     targets: DataFrame,
-    res: int,
+    res: int | None,
     k: int = 1,
     point_key: str = "point_id",
     target_key: str = "target_id",
@@ -352,7 +352,9 @@ def knn_join(
     (empty-ring escalation, SURVEY.md §7 hard part 3).
 
     Distances: haversine meters (functions.geo.haversine_m, JVM-side).
-    Deterministic tie-break on (distance, target_id).
+    Deterministic tie-break on (distance, target_id). ``res=None``
+    lets the ring path derive the grid resolution from the target
+    side's measured density (one cell ≈ k targets).
 
     Contract: ``point_key`` must be unique per input row (kNN is a
     keyed join — k output rows per point). With duplicate keys the
@@ -378,6 +380,32 @@ def knn_join(
         )
 
     from ..functions.geo import haversine_m
+
+    # One cheap agg over the target side drives BOTH adaptive knobs
+    # below (auto resolution + initial ring).
+    t_stats = targets.agg(
+        F.min(t_lon), F.max(t_lon), F.min(t_lat), F.max(t_lat), F.count(F.lit(1))
+    ).first()
+    n_targets = t_stats[4] or 0
+
+    if res is None:
+        # Density-adaptive resolution: pick the grid where an occupied
+        # cell holds ~k targets, so a ring-1 probe sees ~9k candidates —
+        # enough to resolve most points in one round without drowning
+        # the join in candidates. A fixed res that's too coarse for a
+        # dense target side costs 100×+ in candidate rows (measured:
+        # 200k targets at res 16 → ~1.1k candidates/point).
+        import math
+
+        if n_targets:
+            span_x = max(float(t_stats[1] - t_stats[0]), 1e-9)
+            span_y = max(float(t_stats[3] - t_stats[2]), 1e-9)
+            n_side = math.sqrt(
+                max(1.0, (n_targets / max(1, k)) * (360.0 * 180.0) / (span_x * span_y))
+            )
+            res = min(24, max(6, math.ceil(math.log2(max(2.0, n_side)))))
+        else:
+            res = 12
 
     n = 1 << res
     # conservative per-cell metric extents at the point's latitude
@@ -405,16 +433,12 @@ def knn_join(
 
     # Density-adaptive initial ring: starting at ring 1 when targets
     # are sparse burns 2-3 full join+window rounds before the
-    # guarantee radius reaches the typical NN distance. One cheap agg
-    # over the (small) target side estimates targets-per-cell d; pick
-    # the smallest ring with (2r+1)^2 * d >= 8k so the k-th candidate
-    # is well inside the guarantee radius for most points. Exactness
-    # is unaffected — the ring only seeds the escalation loop.
-    t_stats = t.agg(
-        F.min(t_lon), F.max(t_lon), F.min(t_lat), F.max(t_lat), F.count(F.lit(1))
-    ).first()
+    # guarantee radius reaches the typical NN distance. Using the same
+    # target stats, pick the smallest ring with (2r+1)^2 * d >= 8k so
+    # the k-th candidate is well inside the guarantee radius for most
+    # points. Exactness is unaffected — the ring only seeds the
+    # escalation loop.
     ring = 1
-    n_targets = t_stats[4]
     if n_targets:
         cell_w_deg = 360.0 / (2 * n)
         cell_h_deg = 180.0 / n

@@ -256,3 +256,28 @@ def test_decode_tile_assign_matches_trusted_path(spark, images_df, images_pd):
     assert heavy["phash_match"].all()
     joined = heavy.join(trusted, rsuffix="_t")
     assert (joined["tile"] == joined["tile_t"]).all()
+
+
+def test_knn_ring_auto_res_agrees(spark, points_df):
+    """res=None derives the grid from target density; result identical
+    to the broadcast strategy."""
+    (pdf_s, pdf) = points_df
+    rng = np.random.default_rng(41)
+    nt = 500  # dense enough that a fixed coarse res would over-candidate
+    tgt_pd = pd.DataFrame(
+        {
+            "target_id": np.arange(nt),
+            "t_lon": rng.uniform(-122.52, -122.35, nt),
+            "t_lat": rng.uniform(37.70, 37.84, nt),
+        }
+    )
+    tgt = spark.createDataFrame(tgt_pd)
+    ring = {
+        (r["point_id"], r["target_id"])
+        for r in spatial.knn_join(pdf_s, tgt, res=None, k=1, strategy="ring").collect()
+    }
+    bc = {
+        (r["point_id"], r["target_id"])
+        for r in spatial.knn_join(pdf_s, tgt, res=None, k=1, strategy="broadcast").collect()
+    }
+    assert ring == bc and len(ring) == len(pdf)
