@@ -186,3 +186,51 @@ def test_interval_point_join_matches_bruteforce(spark):
         if i.k == p.k and i.t0 <= p.t <= i.t1
     }
     assert got == want and len(want) > 0
+
+
+def test_asof_join_empty_right_and_no_match(spark):
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import relational
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "t": [10, 20], "lid": [0, 1]}),
+        schema="k long, t long, lid long",
+    )
+    empty_right = spark.createDataFrame([], schema="k long, t long, rid long")
+    out = relational.asof_join(left, empty_right, "k", "t", ["rid"]).toPandas()
+    assert len(out) == 2 and out["_asof"].isna().all()
+    assert (
+        relational.asof_join(left, empty_right, "k", "t", ["rid"], how="inner").count()
+        == 0
+    )
+    # right rows strictly after every left row -> no matches
+    late = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "t": [100, 200], "rid": [9, 8]}),
+        schema="k long, t long, rid long",
+    )
+    out2 = relational.asof_join(left, late, "k", "t", ["rid"]).toPandas()
+    assert out2["_asof"].isna().all()
+
+
+def test_interval_join_empty_and_degenerate(spark):
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import relational
+
+    pt = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "k": [1], "t": [5]}), schema="pid long, k long, t long"
+    )
+    empty_iv = spark.createDataFrame([], schema="iid long, k long, t0 long, t1 long")
+    assert (
+        relational.interval_point_join(empty_iv, pt, "t0", "t1", "t", 8, ["k"]).count()
+        == 0
+    )
+    # zero-length interval exactly at the point -> inclusive match
+    iv = spark.createDataFrame(
+        pd.DataFrame({"iid": [0], "k": [1], "t0": [5], "t1": [5]}),
+        schema="iid long, k long, t0 long, t1 long",
+    )
+    assert (
+        relational.interval_point_join(iv, pt, "t0", "t1", "t", 8, ["k"]).count() == 1
+    )
