@@ -140,3 +140,28 @@ def read_bucket(spark: SparkSession, location: str, bucket: int) -> DataFrame:
         return df.filter(F.col("bucket") == F.lit(bucket))
     n_buckets = int(spark.conf.get("spark.gtfs2gj.image.buckets", "64"))
     return df.filter(F.pmod(F.xxhash64("image_id"), F.lit(n_buckets)) == F.lit(bucket))
+
+
+def write_images_spatial(
+    images: DataFrame,
+    path: str,
+    res: int = 16,
+    n_files: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """North-star layout: the image table written Z-order-clustered by
+    its geotag's Morton key (operators/layout.py). At 10^12 images the
+    spatial queries (tile ranges, polygon covers, per-city sweeps)
+    then prune at file/row-group level from parquet min/max stats
+    alone — even though the payload column is opaque binary, the scan
+    only decodes the slices whose key range intersects the query.
+    Pair with ``layout.read_cell`` / ``cover_range_predicate`` for
+    reads; ``_mkey`` is persisted so readers never recompute geotags."""
+    from ..operators import layout
+    from ..operators.spatial import image_geotags
+
+    tagged = image_geotags(images, keep_bytes=True)
+    layout.write_spatial_sorted(
+        tagged, path, res=res, lon_col="lon", lat_col="lat",
+        n_files=n_files, mode=mode,
+    )

@@ -102,3 +102,41 @@ def test_bucketed_table_join_skips_exchange(spark, image_df):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS imgs_bucketed_test")
+
+
+def test_spatial_image_layout_prunes_and_is_exact(spark, images_df, tmp_path):
+    """Image table Z-ordered by geotag: a tile-range read returns
+    exactly the images in the tile, and the written files carry
+    disjoint Morton ranges (the stats the reader prunes on)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gtfs_to_geojson_spark import cells
+    from gtfs_to_geojson_spark import images as I
+    from gtfs_to_geojson_spark.operators import layout
+    from gtfs_to_geojson_spark.sources import images as SRC
+
+    path = str(tmp_path / "img_spatial.parquet")
+    SRC.write_images_spatial(images_df, path, res=16, n_files=4)
+
+    pdf = images_df.select("image_id", "phash").toPandas()
+    lon, lat = I.geotag_from_phash(pdf["phash"].to_numpy())
+    # the dense hotspot cell at res 8 holds ~30% of images
+    cell = int(cells.encode(np.asarray([lat[0]]), np.asarray([lon[0]]), 8)[0])
+    got = sorted(layout.read_cell(spark, path, cell, data_res=16).toPandas()["image_id"])
+    want_cells = cells.encode(lat, lon, 8)
+    want = sorted(pdf["image_id"].to_numpy()[want_cells == cell])
+    assert got == want and len(want) > 0
+    # disjoint sorted per-file ranges
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index(layout.MORTON_COL)
+        st = [md.row_group(rg).column(ci).statistics for rg in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in st), max(s.max for s in st)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
