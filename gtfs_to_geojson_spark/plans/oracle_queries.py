@@ -1498,7 +1498,40 @@ def o2_toposort_rowsonly(spark, sf_dir):
     )
 
 
-def g3_buffer_rowsonly(spark, sf_dir):
+# The n-gon's per-step factors (meters·cos a, meters·sin a / m-per-deg)
+# are Python-computed constants embedded VERBATIM (repr → shortest
+# round-trip float) in both the Spark plan (F.lit) and the SQL text, so
+# no cross-engine trig parity is needed for them; only cos(radians(lat))
+# is evaluated on data in both engines, and its ≤1-ulp libm difference
+# vanishes under the 1e-6 rounding.
+def _g3_angle_rows(meters: float = 400.0, steps: int = 32) -> str:
+    import math as _m
+
+    rows = []
+    for pos, a in enumerate([2.0 * _m.pi * i / steps for i in range(steps)] + [0.0]):
+        rows.append(
+            f"({pos}, {repr(meters * _m.cos(a))}, "
+            f"{repr(meters * _m.sin(a) / 111320.0)})"
+        )
+    return ", ".join(rows)
+
+
+@q(
+    "g3_point_buffer",
+    f"""
+WITH ang(pos, dx_m, dy_deg) AS (VALUES {_g3_angle_rows()}),
+sp AS (
+  SELECT s_suppkey, t_lon, t_lat,
+         greatest(cos(radians(t_lat)), 1e-9) * 111320.0 AS sx
+  FROM ({SUPPLIER_POINTS_SQL})
+)
+SELECT s_suppkey, CAST(pos AS BIGINT) AS pos,
+       round(t_lon + dx_m / sx, 6) AS v_lon,
+       round(t_lat + dy_deg, 6) AS v_lat
+FROM sp CROSS JOIN ang
+""",
+)
+def g3_point_buffer(spark, sf_dir):
     """G3 — geodesic point-buffer n-gon (pure Column, no Python):
     ring vertices for supplier points at 400 m."""
     from ..operators import geoagg
@@ -1558,7 +1591,6 @@ def a3_dissolve_rowsonly(spark, sf_dir):
 _ROWS_ONLY.update(
     {
         "o2_toposort": o2_toposort_rowsonly,
-        "g3_point_buffer": g3_buffer_rowsonly,
         "g2_simplify_rdp": g2_simplify_rowsonly,
         "a3_dissolve": a3_dissolve_rowsonly,
     }
