@@ -167,3 +167,23 @@ def test_cell_sql_is_valid_spark_sql_too(spark):
     want_m = cells.morton_encode(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), 12)
     assert np.array_equal(got["c"].to_numpy(), want_c)
     assert np.array_equal(got["m"].to_numpy(), want_m)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lat=st.floats(min_value=-89.99, max_value=89.99),
+    lon=st.floats(min_value=-179.99, max_value=179.99),
+    res=st.integers(min_value=2, max_value=24),
+    d=st.integers(min_value=0, max_value=6),
+)
+def test_morton_hierarchy_property(lat, lon, res, d):
+    """∀ point, res, d ≤ res: morton at res−d == morton at res >> 2d,
+    and the point's fine Morton key lies inside its own parent cell's
+    Morton range — the algebra the layout pruning relies on."""
+    fine = int(cells.morton_encode(np.asarray([lat]), np.asarray([lon]), res)[0])
+    coarse_res = res - min(d, res)
+    coarse = int(cells.morton_encode(np.asarray([lat]), np.asarray([lon]), coarse_res)[0])
+    assert coarse == fine >> (2 * (res - coarse_res))
+    parent_cell = int(cells.encode(np.asarray([lat]), np.asarray([lon]), coarse_res)[0])
+    lo, hi = cells.morton_range_for_cell(parent_cell, res)
+    assert lo <= fine <= hi
