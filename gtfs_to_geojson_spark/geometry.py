@@ -631,16 +631,48 @@ def _classify_mids(
     return inside, onb
 
 
+def _rings_properly_cross(polys: list[np.ndarray]) -> bool:
+    """True when edges of two DIFFERENT rings intersect in an edge
+    interior (proper crossing or collinear overlap) — i.e. the ring set
+    is not a planar boundary subdivision. Shared endpoints don't count
+    (splits only occur at interior t). Pairwise with bbox prefilter;
+    ring counts here are small (per-cell overlay groups)."""
+    boxes = [bbox(p) for p in polys]
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            a, b = boxes[i], boxes[j]
+            if not (a[0] <= b[2] and b[0] <= a[2] and a[1] <= b[3] and b[1] <= a[3]):
+                continue
+            P, _ = _split_edges_against([polys[i]], [polys[j]])
+            if len(P) > len(polys[i]) - 1:
+                return True
+    return False
+
+
 def _normalize_side(rings: list[np.ndarray]) -> list[np.ndarray]:
-    """One overlay side → its union's boundary rings (outers CCW,
-    holes CW). A single ring passes through; multiple rings — which
-    may overlap each other — are unioned first, so the overlay's
-    midpoint classification sees a clean planar boundary. Side
-    semantics are therefore 'the union of the given rings'."""
-    polys = [close_ring(ensure_ccw(np.asarray(r, dtype=np.float64))) for r in rings]
-    if len(polys) <= 1:
-        return polys
-    return polygon_union(polys)
+    """One overlay side → a clean planar boundary ring set (outers CCW,
+    holes CW) for the midpoint classification.
+
+    Two input shapes are accepted:
+    - all-CCW rings (raw dissolve parts, possibly overlapping): unioned
+      first, so side semantics are 'the union of the given rings';
+    - a hole-bearing set (outers CCW, holes CW — the documented output
+      format of polygon_union / these overlays): passed through with
+      ORIENTATION PRESERVED. Flipping holes CCW and unioning would
+      absorb them into solids (holes silently filled — the exact bug
+      this branch prevents); even-odd classification in _classify_mids
+      is orientation-insensitive, so the preserved CW rings subtract
+      correctly. Such a set must already be planar — rings that cross
+      raise UnionError (callers fall back, same contract as union)."""
+    polys = [close_ring(np.asarray(r, dtype=np.float64)) for r in rings]
+    if not any(signed_area(p) < 0 for p in polys):
+        polys = [ensure_ccw(p) for p in polys]  # normalize near-zero-area rings
+        if len(polys) <= 1:
+            return polys
+        return polygon_union(polys)
+    if len(polys) > 1 and _rings_properly_cross(polys):
+        raise UnionError("hole-bearing overlay side with crossing rings")
+    return polys
 
 
 def polygon_intersection(

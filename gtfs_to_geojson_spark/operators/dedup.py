@@ -283,14 +283,24 @@ def kmv_distinct(
 
     Sketch state = the k smallest md5-derived hash values of the
     group's values; merge = union + re-take-k-smallest (associative,
-    commutative). Phase 1 computes a partial sketch per (group, salt)
-    — state bounded at k rows each, map-side combinable; phase 2 merges
-    the ≤ n_salts partials per group. Estimator: exact |sketch| when
-    the group holds < k distinct values, else (k-1) / (kth_min / 2^60)
-    (hashes are uniform on [0, 2^60)).
+    commutative). Estimator: exact |sketch| when the group holds < k
+    distinct values, else (k-1) / (kth_min / 2^60) (hashes are uniform
+    on [0, 2^60)).
+
+    Memory-bounded at every stage (ADVICE r1 fix — the earlier
+    collect_set formulation buffered ALL distinct hashes per group):
+    stage 1 dedups (group, salt, hash) rows via a plain hash aggregate
+    whose per-key state is O(1) and which SPILLS; stage 2 keeps the k
+    smallest per (group, salt) with a window row_number (sort-based,
+    spills); only then does a collect_list run, over ≤ k rows per
+    (group, salt) and ≤ n_salts·k per group. One extra exchange vs the
+    single-agg plan — the price of bounded executor memory on
+    high-cardinality groups, which are the sketch's whole reason to
+    exist.
 
     Deterministic and engine-stable: the DuckDB oracle recomputes the
-    identical sketch, so the ESTIMATE matches exactly — a sketch whose
+    identical sketch (k-smallest of per-salt k-smallest == global
+    k-smallest), so the ESTIMATE matches exactly — a sketch whose
     correctness gate is equality, not tolerance."""
     h = _md5_long(F.col(value_col).cast("string"))
     salt = (
@@ -298,10 +308,16 @@ def kmv_distinct(
         if id_salt_col
         else F.pmod(h, F.lit(n_salts))
     )
-    partial = (
+    distinct = (
         df.select(*group_cols, h.alias("_h"), salt.alias("_salt"))
-        .groupBy(*group_cols, "_salt")
-        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_kmv"))
+        .groupBy(*group_cols, "_salt", "_h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w = Window.partitionBy(*group_cols, "_salt").orderBy("_h")
+    topk = distinct.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    partial = topk.groupBy(*group_cols, "_salt").agg(
+        F.array_sort(F.collect_list("_h")).alias("_kmv")
     )
     merged = partial.groupBy(*group_cols).agg(
         F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list("_kmv")))), 1, k).alias(

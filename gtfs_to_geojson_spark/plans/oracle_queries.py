@@ -1867,9 +1867,20 @@ GROUP BY CUBE (event_type, hod)
 """,
 )
 def a14_cube(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.hour("ts").cast("int").alias("hod"), "value"
-    )
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        # NTZ wall clock — hour() is session-timezone-independent
+        # (verified: hour(ts)==0 under America/New_York session too)
+        hod = F.hour("ts").cast("int")
+    else:
+        # A session with parquet-NTZ inference off reads ts as LTZ with
+        # the raw stored micros; hour() would then shift by session tz.
+        # Derive hour-of-day by integer arithmetic on the raw micros —
+        # timezone-free, identical to DuckDB's naive hour(ts).
+        hod = ((F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long") % 24).cast(
+            "int"
+        )
+    ev = ev.select("event_type", hod.alias("hod"), "value")
     return ev.cube("event_type", "hod").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value").cast("double"), 4).alias("sum_value"),

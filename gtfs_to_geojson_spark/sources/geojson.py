@@ -29,67 +29,78 @@ _COORD_TYPES = {
 }
 
 
-def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+def read_geojson(
+    spark: SparkSession, path: str, multiline: bool = False
+) -> DataFrame:
     """Read .geojson FeatureCollection file(s) → one row per Feature.
 
-    Columns: ``src_file``, ``feature_type``, ``geometry_type``,
-    ``properties_json`` (null-free JSON object, as written),
-    ``coordinates_json`` (raw), and one typed column per geometry
-    family (``point_coords``, ``line_coords``, ``multiline_coords``,
-    ``polygon_coords``, ``multipolygon_coords``) — non-null only for
-    rows of that type, so downstream ops select the typed column they
-    need with zero parsing UDFs."""
-    raw = spark.read.text(path).select(
+    ``multiline=False`` (default): one FeatureCollection per LINE — the
+    exact format this engine's sink and the reference's
+    ``JSON.stringify`` emit. ``multiline=True``: one FeatureCollection
+    per FILE (``wholetext``) — handles pretty-printed / multi-line
+    GeoJSON produced elsewhere. Parsing is ``try_parse_json`` either
+    way: an unparseable collection yields one row with null
+    ``geometry_type`` and ``parse_ok=false`` instead of throwing, so
+    callers can audit bad inputs (ADVICE r1).
+
+    Columns: ``src_file``, ``parse_ok``, ``feature_type``,
+    ``geometry_type``, ``properties_json`` (null-free JSON object, as
+    written), ``coordinates_json`` (raw), and one typed column per
+    geometry family (``point_coords``, ``line_coords``,
+    ``multiline_coords``, ``polygon_coords``, ``multipolygon_coords``)
+    — non-null only for rows of that type, so downstream ops select the
+    typed column they need with zero parsing UDFs."""
+    # NB: must be the text() kwarg — .option("wholetext", ...) is
+    # silently ignored by the Spark 4 text reader
+    raw = spark.read.text(path, wholetext=multiline).select(
         F.input_file_name().alias("src_file"), F.col("value")
     ).filter(F.length(F.trim("value")) > 0)
-    v = F.parse_json(F.col("value"))
+    v = F.try_parse_json(F.col("value"))
+    # A failed parse keeps its row (flagged parse_ok=false) instead of
+    # throwing or vanishing: substitute a single JSON-null feature for
+    # the missing array. The placeholder is a VARIANT null literal, not
+    # a SQL-null variant — Arrow toPandas segfaults (Spark 4.1) when a
+    # null variant value reaches the exploded column.
+    feat_arr = F.coalesce(
+        F.variant_get(v, "$.features", "array<variant>"),
+        F.array(F.parse_json(F.lit("null"))),
+    )
     feats = raw.select(
         "src_file",
-        F.explode(F.variant_get(v, "$.features", "array<variant>")).alias("f"),
+        v.isNotNull().alias("parse_ok"),
+        F.explode(feat_arr).alias("f"),
     )
-    gtype = F.variant_get("f", "$.geometry.type", "string")
-    out = feats.select(
+    gtype = F.try_variant_get("f", "$.geometry.type", "string")
+
+    # Typed extraction is gated INSIDE the when(): (a) depth ambiguity —
+    # MultiLineString and Polygon share a coordinate depth, so only the
+    # column matching the declared geometry type is populated; (b) the
+    # lazy CaseWhen branch keeps variant extraction from ever running on
+    # null/foreign rows — try_variant_get of a VARIANT null to a depth-3
+    # array type produces a value that segfaults Arrow toPandas
+    # (Spark 4.1), while the plain null this emits is safe.
+    def typed(geom_type: str, alias: str):
+        return F.when(
+            gtype == geom_type,
+            F.try_variant_get("f", "$.geometry.coordinates", _COORD_TYPES[geom_type]),
+        ).alias(alias)
+
+    return feats.select(
         "src_file",
-        F.variant_get("f", "$.type", "string").alias("feature_type"),
+        "parse_ok",
+        F.try_variant_get("f", "$.type", "string").alias("feature_type"),
         gtype.alias("geometry_type"),
-        F.to_json(F.variant_get("f", "$.properties", "variant")).alias("properties_json"),
-        F.to_json(F.variant_get("f", "$.geometry.coordinates", "variant")).alias(
+        F.to_json(F.try_variant_get("f", "$.properties", "variant")).alias(
+            "properties_json"
+        ),
+        F.to_json(F.try_variant_get("f", "$.geometry.coordinates", "variant")).alias(
             "coordinates_json"
         ),
-        F.try_variant_get(
-            "f", "$.geometry.coordinates", _COORD_TYPES["Point"]
-        ).alias("point_coords"),
-        F.try_variant_get(
-            "f", "$.geometry.coordinates", _COORD_TYPES["LineString"]
-        ).alias("line_coords"),
-        F.try_variant_get(
-            "f", "$.geometry.coordinates", _COORD_TYPES["MultiLineString"]
-        ).alias("multiline_coords"),
-        F.try_variant_get(
-            "f", "$.geometry.coordinates", _COORD_TYPES["Polygon"]
-        ).alias("polygon_coords"),
-        F.try_variant_get(
-            "f", "$.geometry.coordinates", _COORD_TYPES["MultiPolygon"]
-        ).alias("multipolygon_coords"),
-    )
-    # depth ambiguity: MultiLineString and Polygon share a depth, as do
-    # LineString/“ring list” — null out the typed columns that don't
-    # match the declared geometry type
-    def only(col: str, *types: str):
-        return F.when(gtype_out.isin(*types), F.col(col)).alias(col)
-
-    gtype_out = F.col("geometry_type")
-    return out.select(
-        "src_file",
-        "feature_type",
-        "geometry_type",
-        "properties_json",
-        "coordinates_json",
-        only("point_coords", "Point"),
-        only("line_coords", "LineString"),
-        only("multiline_coords", "MultiLineString"),
-        only("polygon_coords", "Polygon"),
-        only("multipolygon_coords", "MultiPolygon"),
+        typed("Point", "point_coords"),
+        typed("LineString", "line_coords"),
+        typed("MultiLineString", "multiline_coords"),
+        typed("Polygon", "polygon_coords"),
+        typed("MultiPolygon", "multipolygon_coords"),
     )
 
 

@@ -46,7 +46,12 @@ def stream_asof_enrich(
             pdf = pdf.sort_values(["t_us", "event_type", "event_id"])
             for eid, t, et in zip(pdf["event_id"], pdf["t_us"], pdf["event_type"]):
                 if et == "click":
-                    if latest_t is None or int(t) >= latest_t:
+                    # Tie rule must match batch asof_join's oracle, which
+                    # dedups equal-timestamp clicks keeping MAX event_id:
+                    # replace state only when (t, event_id) is strictly
+                    # greater, so a later-arriving batch carrying an equal-t
+                    # but lower-id click cannot overwrite.
+                    if latest_t is None or (int(t), int(eid)) > (latest_t, latest_id):
                         latest_t, latest_id = int(t), int(eid)
                 elif et == "purchase":
                     out.append((int(key[0]), int(eid), int(t), latest_id, latest_t))

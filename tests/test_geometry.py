@@ -293,3 +293,52 @@ def test_overlay_robust_on_overlapping_sides():
             else g.signed_area(g.close_ring(a[0]))
         )
         assert abs(aa - (ai + ad)) < 1e-6
+
+
+def test_overlay_holed_inputs_preserved():
+    """Hole-bearing sides (outers CCW, holes CW — the overlays' own
+    output format) keep their holes: clipping a donut must not
+    silently fill it (ADVICE r1, _normalize_side orientation bug)."""
+    A = [_sq(0, 0, 4, 4)]
+    donut = g.polygon_difference(A, [_sq(1, 1, 3, 3)])  # area 16-4=12, 2 rings
+    assert abs(_area(donut) - 12.0) < 1e-9
+    # B strictly inside the hole -> empty intersection (was: 1x1 square)
+    inner = [_sq(1.5, 1.5, 2.5, 2.5)]
+    assert g.polygon_intersection(donut, inner) == []
+    # B covering everything -> intersection is the donut itself, hole intact
+    cover = [_sq(-1, -1, 5, 5)]
+    got = g.polygon_intersection(donut, cover)
+    assert abs(_area(got) - 12.0) < 1e-9
+    assert min(g.signed_area(r) for r in got) < 0  # CW hole survives
+    # half-clip: clip window overlapping outer and hole
+    half = g.polygon_intersection(donut, [_sq(0, 0, 2, 4)])
+    assert abs(_area(half) - (8.0 - 2.0)) < 1e-9
+    # difference with holed minuend: donut minus a bite off the rim
+    bite = g.polygon_difference(donut, [_sq(-1, -1, 1, 1)])
+    assert abs(_area(bite) - (12.0 - 1.0)) < 1e-9
+    # holed SUBTRAHEND: A - donut = the hole region + nothing outside
+    back = g.polygon_difference([_sq(0, 0, 4, 4)], donut)
+    assert abs(_area(back) - 4.0) < 1e-9
+
+
+def test_overlay_holed_input_roundtrip_chain():
+    """Output of one overlay feeds the next (the composition the bug
+    broke): ((A - H1) - H2) ∩ W with exact inclusion-exclusion."""
+    A = [_sq(0, 0, 8, 8)]
+    s1 = g.polygon_difference(A, [_sq(1, 1, 3, 3)])
+    s2 = g.polygon_difference(s1, [_sq(5, 5, 7, 7)])
+    assert abs(_area(s2) - (64.0 - 4.0 - 4.0)) < 1e-9
+    w = g.polygon_intersection(s2, [_sq(0, 0, 4, 8)])
+    # left half: 32 minus the full first hole (2x2), second hole untouched
+    assert abs(_area(w) - (32.0 - 4.0)) < 1e-9
+
+
+def test_overlay_holed_side_crossing_rings_raises():
+    """A hole-bearing side whose rings properly cross is not a planar
+    boundary set — explicit UnionError (fallback contract), never a
+    silent wrong area."""
+    import pytest
+
+    bad = [g.close_ring(_sq(0, 0, 4, 4)), g.close_ring(_sq(2, 2, 6, 6))[::-1]]
+    with pytest.raises(g.UnionError):
+        g.polygon_intersection(bad, [_sq(0, 0, 10, 10)])

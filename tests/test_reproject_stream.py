@@ -288,3 +288,30 @@ def test_stream_asof_matches_batch(spark, tmp_path):
     g = got.set_index("purchase_id")["click_id"]
     w = want.set_index("purchase_id")["click_id"]
     pd.testing.assert_series_equal(g, w, check_dtype=False)
+
+
+def test_stream_asof_equal_ts_click_across_batches(spark, tmp_path):
+    """ADVICE r1: equal-timestamp clicks split across micro-batches must
+    enrich with the SAME click_id as the batch path (max event_id wins
+    the tie) — a later batch's equal-t lower-id click must not
+    overwrite state."""
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.streaming import stream_temporal as ST
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    sdf = lambda rows: spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "t_us", "user_id", "event_type"]),
+        schema=ST.EVENT_SCHEMA,
+    )
+    # batch 1: the HIGHER-id click at t=100
+    sdf([(5, 100, 0, "click")]).coalesce(1).write.mode("append").parquet(in_dir)
+    ST.run_stream_asof_to_parquet(spark, in_dir, out_dir, ckpt, timeout_s=120).awaitTermination()
+    # batch 2: an equal-t lower-id click, then a purchase
+    sdf([(3, 100, 0, "click"), (7, 200, 0, "purchase")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    ST.run_stream_asof_to_parquet(spark, in_dir, out_dir, ckpt, timeout_s=120).awaitTermination()
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 1
+    assert int(got.iloc[0]["click_id"]) == 5  # max event_id at the tie, not 3
