@@ -7,10 +7,17 @@ README.md:88-310):
 
 Config keys honored (reference name → behavior here):
 
-* ``agencies[]``            — {agencyKey, path|url}; path may be a
-                              directory of GTFS .txt/.parquet files or
-                              a .zip (unzipped like the reference's
-                              import, src/lib/gtfs-to-geojson.ts:287-295)
+* ``agencies[]``            — {agencyKey, path|url, exclude, proj};
+                              path may be a directory of GTFS
+                              .txt/.parquet files or a .zip (unzipped
+                              like the reference's import,
+                              src/lib/gtfs-to-geojson.ts:287-295);
+                              ``exclude`` skips GTFS files at import
+                              (README.md:161-169) — excluding shapes
+                              forces the stop-derived-lines fallback;
+                              ``proj`` is a proj4 override applied to
+                              stop/shape coordinates at ingest
+                              (README.md:171-187; tmerc/utm/lcc/affine)
 * ``bufferSizeMeters``      — default 400 (ts:34)
 * ``coordinatePrecision``   — unset = no rounding/simplify
 * ``outputType``            — agency | route | shape
@@ -86,11 +93,16 @@ def main(argv: list[str] | None = None) -> int:
         for agency in cfg.get("agencies", []):
             key = agency.get("agencyKey", "agency")
             try:
+                exclude = agency.get("exclude") or []
                 if args.skipImport and warehouse:
                     feed_dir = os.path.join(warehouse, key)
                 else:
                     feed_dir = _resolve_feed_dir(agency, tmp_root)
-                feed = read_feed(spark, feed_dir)
+                feed = read_feed(spark, feed_dir, exclude=exclude)
+                if agency.get("proj"):
+                    from .sources.reproject import reproject_feed
+
+                    feed = reproject_feed(feed, agency["proj"])
                 if warehouse and not args.skipImport:
                     # materialize typed tables (S4/S5 — the sqlitePath analog)
                     wdir = os.path.join(warehouse, key)

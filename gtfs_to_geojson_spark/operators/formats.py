@@ -62,9 +62,12 @@ def _stop_features(feed, cfg, q: BaseQuery, agency_name: str | None) -> DataFram
 
 def _shapes_exist(feed, q: BaseQuery) -> bool:
     """Early-exit probe (reference geojson-utils.ts:212-215: if the
-    shapes query yields anything, stop-derived lines are skipped)."""
+    shapes query yields anything, stop-derived lines are skipped).
+    Probes the shapes TABLE, not just trips.shape_id — a feed whose
+    shapes file is missing or excluded at import (README.md:161-169)
+    still carries shape_ids on trips, and must fall back."""
     pairs = relational.route_shape_pairs(feed["trips"], q)
-    return not pairs.limit(1).isEmpty()
+    return not pairs.join(feed["shapes"], "shape_id", "left_semi").limit(1).isEmpty()
 
 
 def _line_features(feed, cfg, q: BaseQuery, agency_name: str | None) -> DataFrame:

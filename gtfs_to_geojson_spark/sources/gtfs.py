@@ -68,14 +68,26 @@ GTFS_SCHEMAS: dict[str, T.StructType] = {
 OPTIONAL_TABLES = {"route_attributes", "feed_info", "calendar", "shapes"}
 
 
-def read_feed(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+def read_feed(
+    spark: SparkSession, path: str, exclude: list[str] | None = None
+) -> dict[str, DataFrame]:
     """Read a GTFS feed directory (``<table>.txt`` CSV or
     ``<table>.parquet``) into typed DataFrames. Missing optional tables
     come back as empty frames with the right schema (the reference
     tolerates absent route_attributes/shapes — geojson-utils.ts:217-220,
-    238-239)."""
+    238-239).
+
+    ``exclude``: per-agency config key (reference README.md:161-169) —
+    listed tables are never scanned and come back as EMPTY typed
+    frames, so downstream degrades exactly like a feed missing that
+    file (e.g. ``exclude: ["shapes"]`` forces the stop-derived-lines
+    fallback). Names accepted with or without the ``.txt`` suffix."""
+    skip = {str(e).removesuffix(".txt") for e in (exclude or [])}
     out: dict[str, DataFrame] = {}
     for name, schema in GTFS_SCHEMAS.items():
+        if name in skip:
+            out[name] = spark.createDataFrame([], schema)
+            continue
         csv_p = os.path.join(path, f"{name}.txt")
         pq_p = os.path.join(path, f"{name}.parquet")
         if os.path.exists(pq_p):

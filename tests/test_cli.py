@@ -94,3 +94,54 @@ def test_cli_missing_feed_errors_but_continues(spark, tmp_path, feed_dir):
     )
     assert rc == 1  # error reported
     assert os.path.isdir(out / "good")  # later agency still processed
+
+
+def test_cli_exclude_shapes_forces_stop_derived_lines(spark, feed_dir, tmp_path):
+    """Per-agency `exclude` (reference README.md:161-169): excluding
+    shapes must still produce lines — via the stop-sequence-derived
+    fallback — and those lines must differ from the shape-built ones."""
+    out_a, out_b = tmp_path / "with_shapes", tmp_path / "no_shapes"
+    base = {
+        "outputFormat": "lines",
+        "outputType": "agency",
+        "coordinatePrecision": 5,
+    }
+    assert _run_cli(
+        tmp_path,
+        {**base, "agencies": [{"agencyKey": "a", "path": feed_dir}],
+         "outputPath": str(out_a)},
+    ) == 0
+    assert _run_cli(
+        tmp_path,
+        {**base, "agencies": [{"agencyKey": "a", "path": feed_dir,
+                               "exclude": ["shapes"]}],
+         "outputPath": str(out_b)},
+    ) == 0
+    fa = [f for f in os.listdir(out_a / "a") if f.endswith(".geojson")]
+    fb = [f for f in os.listdir(out_b / "a") if f.endswith(".geojson")]
+    ga = json.loads((out_a / "a" / fa[0]).read_text())
+    gb = json.loads((out_b / "a" / fb[0]).read_text())
+    assert len(gb["features"]) > 0  # fallback produced lines
+    na = sum(len(seg) for f in ga["features"]
+             for seg in f["geometry"]["coordinates"])
+    nb = sum(len(seg) for f in gb["features"]
+             for seg in f["geometry"]["coordinates"])
+    assert nb < na  # stop-derived lines are coarser than shape points
+
+
+def test_cli_exclude_optional_table_noop(spark, feed_dir, tmp_path):
+    """Excluding a table a format doesn't need changes nothing."""
+    out = tmp_path / "out_excl_opt"
+    rc = _run_cli(
+        tmp_path,
+        {
+            "agencies": [{"agencyKey": "t", "path": feed_dir,
+                          "exclude": ["route_attributes", "frequencies.txt"]}],
+            "outputFormat": "stops",
+            "outputPath": str(out),
+        },
+    )
+    assert rc == 0
+    files = [f for f in os.listdir(out / "t") if f.endswith(".geojson")]
+    gj = json.loads((out / "t" / files[0]).read_text())
+    assert len(gj["features"]) > 0

@@ -46,7 +46,122 @@ def test_reproject_unknown_raises(spark, feed):
     from gtfs_to_geojson_spark.sources.reproject import reproject_feed
 
     with pytest.raises(NotImplementedError):
-        reproject_feed(feed, "+proj=lcc +lat_1=33")
+        reproject_feed(feed, "+proj=omerc +lat_0=4 +lonc=115")
+
+
+# README example config string (reference README.md:175-187) — NTF
+# Lambert II étendu: ellipsoidal 1SP LCC + Paris meridian + towgs84
+_LAMBERT2E = (
+    "+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 +k_0=0.99987742 "
+    "+x_0=600000 +y_0=2200000 +a=6378249.2 +b=6356515 "
+    "+towgs84=-168,-60,320,0,0,0,0 +pm=paris +units=m +no_defs"
+)
+
+
+def test_lcc_1sp_epsg_worked_example():
+    """EPSG Guidance Note 7-2, method 9801 (Jamaica 1969 National
+    Grid): published test point must reproduce to < 1 cm."""
+    from gtfs_to_geojson_spark.sources.reproject import LccProjection, parse_proj
+
+    p = LccProjection(
+        parse_proj(
+            "+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=1 "
+            "+x_0=250000 +y_0=150000 +a=6378206.4 +b=6356583.8"
+        )
+    )
+    phi = 17 + 55 / 60 + 55.80 / 3600
+    lam = -(76 + 56 / 60 + 37.26 / 3600)
+    x, y = p.forward(np.array([lam]), np.array([phi]))
+    assert abs(x[0] - 255966.58) < 0.01
+    assert abs(y[0] - 142493.51) < 0.01
+
+
+def test_lcc_readme_string_roundtrip():
+    """The reference README's own lcc example: forward∘inverse
+    round-trips a France-extent grid at < 1e-6° / < 1 mm, and the
+    standard-parallel local scale equals k_0 (conformality check)."""
+    from gtfs_to_geojson_spark.sources.reproject import LccProjection, parse_proj
+
+    p = LccProjection(parse_proj(_LAMBERT2E))
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(50_000, 1_150_000, 500)
+    ys = rng.uniform(1_700_000, 2_700_000, 500)
+    lon, lat = p.inverse(xs, ys)
+    assert (np.abs(lon) < 10).all() and ((lat > 40) & (lat < 52)).all()
+    x2, y2 = p.forward(lon, lat)
+    assert np.abs(x2 - xs).max() < 1e-3 and np.abs(y2 - ys).max() < 1e-3
+    lon2, lat2 = p.inverse(x2, y2)
+    assert np.abs(lon2 - lon).max() < 1e-6 and np.abs(lat2 - lat).max() < 1e-6
+    # local meridional scale at the standard parallel == k_0
+    d = 1e-6
+    x1, y1 = p._fwd_native(np.array([2.0]), np.array([46.8]))
+    xb, yb = p._fwd_native(np.array([2.0]), np.array([46.8 + d]))
+    s = np.sin(np.radians(46.8))
+    M = p.a * (1 - p.e2) / (1 - p.e2 * s * s) ** 1.5
+    scale = np.hypot(xb - x1, yb - y1)[0] / (M * np.radians(d))
+    assert abs(scale - 0.99987742) < 1e-6
+
+
+def test_lcc_2sp_scale_unity_at_parallels():
+    from gtfs_to_geojson_spark.sources.reproject import LccProjection, parse_proj
+
+    p = LccProjection(
+        parse_proj(
+            "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 "
+            "+x_0=0 +y_0=0 +a=6378137 +rf=298.257222101"
+        )
+    )
+    d = 1e-6
+    for lat_sp in (33.0, 45.0):
+        x1, y1 = p._fwd_native(np.array([-96.0]), np.array([lat_sp]))
+        xb, yb = p._fwd_native(np.array([-96.0]), np.array([lat_sp + d]))
+        s = np.sin(np.radians(lat_sp))
+        M = p.a * (1 - p.e2) / (1 - p.e2 * s * s) ** 1.5
+        scale = np.hypot(xb - x1, yb - y1)[0] / (M * np.radians(d))
+        assert abs(scale - 1.0) < 1e-6
+    # round-trip through the datum-free path too
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-110, -80, 300)
+    lat = rng.uniform(30, 48, 300)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9 and np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_reproject_feed_lcc(spark, feed_pd):
+    """Ingest-path acceptance: a feed whose coordinates are Lambert II
+    étendu meters comes back as the original WGS84 degrees when the
+    README proj string is supplied."""
+    from gtfs_to_geojson_spark.sources.gtfs import feed_from_pandas
+    from gtfs_to_geojson_spark.sources.reproject import (
+        LccProjection,
+        parse_proj,
+        reproject_feed,
+    )
+
+    p = LccProjection(parse_proj(_LAMBERT2E))
+    frames = {k: v.copy() for k, v in feed_pd.items()}
+    # shift fixture coords into France so the projection is in-domain
+    lon_w = frames["stops"]["stop_lon"].to_numpy() + 124.5  # ≈ 2°E
+    lat_w = frames["stops"]["stop_lat"].to_numpy() + 9.2  # ≈ 47°N
+    x, y = p.forward(lon_w, lat_w)
+    frames["stops"]["stop_lon"] = x
+    frames["stops"]["stop_lat"] = y
+    sx, sy = p.forward(
+        frames["shapes"]["shape_pt_lon"].to_numpy() + 124.5,
+        frames["shapes"]["shape_pt_lat"].to_numpy() + 9.2,
+    )
+    frames["shapes"]["shape_pt_lon"] = sx
+    frames["shapes"]["shape_pt_lat"] = sy
+    fixed = reproject_feed(feed_from_pandas(spark, frames), _LAMBERT2E)
+    got = fixed["stops"].orderBy("stop_id").toPandas()
+    want = feed_pd["stops"].sort_values("stop_id")
+    assert np.allclose(
+        got["stop_lon"].to_numpy(), want["stop_lon"].to_numpy() + 124.5, atol=1e-6
+    )
+    assert np.allclose(
+        got["stop_lat"].to_numpy(), want["stop_lat"].to_numpy() + 9.2, atol=1e-6
+    )
 
 
 def test_streaming_tile_assignment_resumes(spark, images_pd, tmp_path):
