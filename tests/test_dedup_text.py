@@ -200,3 +200,55 @@ def test_stratified_sample_rates_and_determinism(spark):
     # deterministic: identical subset on re-run
     out2 = T.stratified_sample(df, "s", "id", {"a": 100000, "b": 900000}).toPandas()
     assert sorted(out["id"]) == sorted(out2["id"])
+
+
+def _pairs_set(pdf):
+    return {(int(a), int(b)) for a, b in zip(pdf.id_a, pdf.id_b)}
+
+
+def test_lsh_hot_bucket_salting_identical_pairs(spark):
+    """VERDICT r1 scale guard: a skewed corpus (30% of docs share one
+    boilerplate template → one hot band bucket) must produce the
+    IDENTICAL pair set whether the salted path triggers or not, and
+    the salted plan must bound per-task size."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        if i < 90:  # 30% boilerplate-identical prefix, tiny suffix noise
+            rows.append((i, "terms of service apply to all users " + "x" * (i % 3)))
+        else:
+            rows.append((i, " ".join(rng.choice(list("abcdefghij"), 12)) + f" doc {i}"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    plain = dedup.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    salted = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, target_bucket_rows=16
+    ).toPandas()
+    assert _pairs_set(plain) == _pairs_set(salted) and len(plain) > 0
+    ep = dict(zip(zip(plain.id_a, plain.id_b), plain.est_jaccard))
+    es = dict(zip(zip(salted.id_a, salted.id_b), salted.est_jaccard))
+    assert ep == es
+
+    sp = dedup.simhash_near_pairs(docs, max_hamming=10).toPandas()
+    ss = dedup.simhash_near_pairs(
+        docs, max_hamming=10, target_bucket_rows=16
+    ).toPandas()
+    assert _pairs_set(sp) == _pairs_set(ss) and len(sp) > 0
+
+
+def test_lsh_max_bucket_size_drops_and_logs(spark, caplog):
+    """Opt-in degenerate-bucket cap: pairs that only co-occur in an
+    over-cap bucket are dropped, and the drop is logged (no silent
+    truncation); all other pairs survive."""
+    import logging
+
+    rows = [(i, "identical boilerplate text everywhere") for i in range(50)]
+    rows += [(100, "some unique text one here"), (101, "some unique text one here")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    with caplog.at_level(logging.WARNING):
+        capped = dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, target_bucket_rows=8, max_bucket_size=20
+        ).toPandas()
+    got = _pairs_set(capped)
+    assert (100, 101) in got                       # small bucket intact
+    assert not any(a < 50 and b < 50 for a, b in got)  # hot clique dropped
+    assert any("max_bucket_size" in r.message for r in caplog.records)
