@@ -1463,13 +1463,93 @@ def g1_round_coords(spark, sf_dir):
     )
 
 
-# ---- rows-only kernel checks (non-SQL-expressible geometry) ----
+# ---- O2: toposort, EXACT oracle (promoted from rows-only, r2) ----
+# The Python kernel is Kahn's algorithm with a min-heap (lexicographic
+# smallest ready node first) and a longest-trip cycle fallback. The
+# DuckDB twin is a recursive-CTE state machine: one row per route
+# carrying the visited list; each iteration appends the MINIMUM
+# unvisited node all of whose predecessors are visited — provably the
+# same order as heap-Kahn (a node's remaining indegree is zero iff all
+# its predecessors are visited). Recursion stalls on a cycle; routes
+# whose walk is shorter than their node count fall back to the longest
+# trip (ties → smallest trip_id), exactly like the kernel.
+_O2_BASE = """
+  SELECT DISTINCT (o.o_custkey % 20) AS route_key,
+         CAST(l.l_orderkey AS VARCHAR) AS trip_id,
+         l.l_linenumber AS stop_sequence,
+         CAST(l.l_partkey AS VARCHAR) AS stop_id
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_custkey <= 60
+"""
 
 
-def o2_toposort_rowsonly(spark, sf_dir):
+@q(
+    "o2_toposort",
+    f"""
+WITH RECURSIVE st AS ({_O2_BASE}),
+tord AS (
+  SELECT route_key, trip_id,
+         list(stop_id ORDER BY stop_sequence, stop_id) AS stops
+  FROM st GROUP BY route_key, trip_id
+),
+edges AS (
+  SELECT DISTINCT route_key, a, b FROM (
+    SELECT route_key, stops[i] AS a, stops[i+1] AS b
+    FROM tord, unnest(range(1, len(stops))) AS t(i)
+  ) WHERE a <> b
+),
+nodes AS (SELECT DISTINCT route_key, stop_id FROM st),
+ncnt AS (SELECT route_key, count(*) AS n FROM nodes GROUP BY route_key),
+walk(route_key, visited) AS (
+  SELECT route_key, CAST([] AS VARCHAR[]) FROM ncnt
+  UNION ALL
+  SELECT route_key, list_append(visited, nxt) FROM (
+    SELECT w.route_key, w.visited, (
+        SELECT min(n.stop_id) FROM nodes n
+        WHERE n.route_key = w.route_key
+          AND NOT list_contains(w.visited, n.stop_id)
+          AND NOT EXISTS (
+            SELECT 1 FROM edges e
+            WHERE e.route_key = w.route_key AND e.b = n.stop_id
+              AND NOT list_contains(w.visited, e.a)
+          )
+    ) AS nxt
+    FROM walk w
+  ) WHERE nxt IS NOT NULL
+),
+best AS (
+  SELECT route_key, visited,
+         row_number() OVER (PARTITION BY route_key ORDER BY len(visited) DESC) AS rk
+  FROM walk
+),
+acyclic AS (
+  SELECT b.route_key, b.visited FROM best b JOIN ncnt c USING (route_key)
+  WHERE b.rk = 1 AND len(b.visited) = c.n
+),
+cyc AS (
+  SELECT b.route_key FROM best b JOIN ncnt c USING (route_key)
+  WHERE b.rk = 1 AND len(b.visited) < c.n
+),
+fb AS (
+  SELECT route_key, stops AS visited FROM (
+    SELECT t.route_key, t.stops,
+           row_number() OVER (PARTITION BY t.route_key
+                              ORDER BY len(t.stops) DESC, t.trip_id ASC) AS rk
+    FROM tord t JOIN cyc USING (route_key)
+  ) WHERE rk = 1
+),
+final AS (SELECT * FROM acyclic UNION ALL SELECT * FROM fb)
+SELECT route_key, CAST(i - 1 AS BIGINT) AS pos, visited[i] AS stop_key
+FROM final, unnest(range(1, len(visited) + 1)) AS t(i)
+""",
+)
+def o2_toposort(spark, sf_dir):
     """O2 — deterministic Kahn toposort of a stop graph synthesized
     from lineitem (route = custkey band, trip = order, stop = part),
-    cycle fallback to the longest trip. Emits (route_key, pos, stop_key)."""
+    cycle fallback to the longest trip. Emits (route_key, pos,
+    stop_key). Rows deduped first: the synthetic lineitem repeats
+    (l_orderkey, l_linenumber) pairs, and both engines must see the
+    same multiset."""
     import pandas as pd  # noqa: F811
 
     from ..operators.relational import _toposort_stop_order
@@ -1485,6 +1565,7 @@ def o2_toposort_rowsonly(spark, sf_dir):
             F.col("l_linenumber").alias("stop_sequence"),
             F.col("l_partkey").cast("string").alias("stop_id"),
         )
+        .dropDuplicates(["route_key", "trip_id", "stop_sequence", "stop_id"])
     )
 
     def kernel(key, pdf):
@@ -1546,25 +1627,108 @@ def g3_point_buffer(spark, sf_dir):
     )
 
 
-def g2_simplify_rowsonly(spark, sf_dir):
-    """G2 — RDP simplify (numpy kernel in pandas UDF) over assembled
-    per-order lines; emits per-line input/output vertex counts."""
-    from ..operators import geoagg, relational
+# ---- G2: RDP simplify, EXACT oracle (promoted from rows-only, r2) ----
+# The DuckDB twin re-derives Douglas–Peucker with a recursive CTE over
+# (shape_key, i, j) segments: each iteration finds the max-distance
+# interior vertex (first index on ties — numpy argmax), splits when
+# d > tol, and the survivor set is exactly the union of all segment
+# endpoints. Distance = clamped-projection segment distance, the same
+# arithmetic as geometry.rdp_mask. The lattice-derived points are in
+# general position, so no distance sits near the tolerance and no
+# argmax ties occur — FP-safe across engines (verified at 3 SFs).
+_G2_KEY = "(l_orderkey * 29 + l_linenumber * 3)"
+_G2_TOL = 0.001  # 1/10^3 — simplify_lines_udf(precision=3)
+_G2_D = (
+    "CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0.0 "
+    "THEN sqrt((p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y)) "
+    "ELSE sqrt("
+    "(p.x-(a.x+least(greatest(((p.x-a.x)*(b.x-a.x)+(p.y-a.y)*(b.y-a.y))/((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)),0.0),1.0)*(b.x-a.x)))"
+    "*(p.x-(a.x+least(greatest(((p.x-a.x)*(b.x-a.x)+(p.y-a.y)*(b.y-a.y))/((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)),0.0),1.0)*(b.x-a.x)))"
+    "+"
+    "(p.y-(a.y+least(greatest(((p.x-a.x)*(b.x-a.x)+(p.y-a.y)*(b.y-a.y))/((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)),0.0),1.0)*(b.y-a.y)))"
+    "*(p.y-(a.y+least(greatest(((p.x-a.x)*(b.x-a.x)+(p.y-a.y)*(b.y-a.y))/((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)),0.0),1.0)*(b.y-a.y)))"
+    ") END"
+)
+
+
+@q(
+    "g2_simplify_rdp",
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT shape_key,
+         CAST(row_number() OVER (PARTITION BY shape_key ORDER BY seq) - 1 AS BIGINT) AS idx,
+         x, y
+  FROM (
+    SELECT DISTINCT l_orderkey AS shape_key, l_linenumber AS seq,
+           {lon_sql(_G2_KEY)} AS x, {lat_sql(_G2_KEY)} AS y
+    FROM lineitem
+  )
+), nn AS (SELECT shape_key, count(*) AS n FROM pts GROUP BY shape_key),
+seg(shape_key, i, j) AS (
+  SELECT shape_key, CAST(0 AS BIGINT), n - 1 FROM nn WHERE n >= 2
+  UNION ALL
+  SELECT u.shape_key,
+         CASE WHEN u.side = 0 THEN u.i ELSE u.m END,
+         CASE WHEN u.side = 0 THEN u.m ELSE u.j END
+  FROM (
+    SELECT w.shape_key, w.i, w.j, w.m, sides.side
+    FROM (
+      SELECT shape_key, i, j, m, d,
+             row_number() OVER (PARTITION BY shape_key, i, j ORDER BY d DESC, m ASC) AS rk
+      FROM (
+        SELECT s.shape_key, s.i, s.j, p.idx AS m, {_G2_D} AS d
+        FROM seg s
+        JOIN pts a ON a.shape_key = s.shape_key AND a.idx = s.i
+        JOIN pts b ON b.shape_key = s.shape_key AND b.idx = s.j
+        JOIN pts p ON p.shape_key = s.shape_key AND p.idx > s.i AND p.idx < s.j
+      )
+    ) w CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) sides
+    WHERE w.rk = 1 AND w.d > {_G2_TOL}
+  ) u
+)
+SELECT shape_key, kept_idx FROM (
+  SELECT shape_key, i AS kept_idx FROM seg
+  UNION
+  SELECT shape_key, j FROM seg
+  UNION
+  SELECT p.shape_key, p.idx FROM pts p JOIN nn ON nn.shape_key = p.shape_key AND nn.n = 1
+)
+""",
+)
+def g2_simplify_rdp(spark, sf_dir):
+    """G2 — RDP simplify: surviving vertex INDICES per lattice-derived
+    per-order line, via the product kernel (geometry.rdp_mask in a
+    grouped pandas UDF). Distinct (key, seq) first — duplicate
+    synthetic rows carry identical derived coordinates."""
+    import pandas as pd  # noqa: F811
+
+    from .. import geometry as geom_mod
 
     li = _t(spark, sf_dir, "lineitem")
     key = F.col("l_orderkey") * 29 + F.col("l_linenumber") * 3
-    shapes = li.select(
-        F.col("l_orderkey").alias("shape_id"),
-        F.col("l_linenumber").alias("shape_pt_sequence"),
-        lon_col(key).alias("shape_pt_lon"),
-        lat_col(key).alias("shape_pt_lat"),
+    pts = (
+        li.select(
+            F.col("l_orderkey").alias("shape_key"),
+            F.col("l_linenumber").alias("seq"),
+            lon_col(key).alias("x"),
+            lat_col(key).alias("y"),
+        )
+        .dropDuplicates(["shape_key", "seq"])
     )
-    ls = relational.shape_linestrings(shapes)
-    simp = geoagg.simplify_lines_udf(precision=3)
-    return ls.select(
-        F.col("shape_id").alias("shape_key"),
-        F.size("coordinates").cast("long").alias("n_in"),
-        F.size(simp(F.col("coordinates"))).cast("long").alias("n_out"),
+
+    def kernel(gkey, pdf):
+        import numpy as np  # noqa: F811
+
+        pdf = pdf.sort_values("seq")
+        arr = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+        if len(arr) <= 2:
+            idx = np.arange(len(arr))
+        else:
+            idx = np.nonzero(geom_mod.rdp_mask(arr, _G2_TOL))[0]
+        return pd.DataFrame({"shape_key": gkey[0], "kept_idx": idx})
+
+    return pts.groupBy("shape_key").applyInPandas(
+        kernel, "shape_key long, kept_idx long"
     )
 
 
@@ -1588,13 +1752,10 @@ def a3_dissolve_rowsonly(spark, sf_dir):
     return spark.createDataFrame(rows, schema="poly_idx long, ring_idx long, n_vertices long")
 
 
-_ROWS_ONLY.update(
-    {
-        "o2_toposort": o2_toposort_rowsonly,
-        "g2_simplify_rdp": g2_simplify_rowsonly,
-        "a3_dissolve": a3_dissolve_rowsonly,
-    }
-)
+# o2_toposort and g2_simplify_rdp were promoted to exact oracles above
+# (r2); a3_dissolve stays rows-only — its distributed union kernel's
+# ring traces have no SQL re-derivation (row-set contract, SURVEY §5).
+_ROWS_ONLY.update({"a3_dissolve": a3_dissolve_rowsonly})
 
 
 # ---------------------------------------------------------------------------
