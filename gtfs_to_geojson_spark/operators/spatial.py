@@ -225,6 +225,43 @@ def point_in_polygon_join(
 # the chunking inside the kernel.
 KNN_BROADCAST_MAX_TARGETS = 100_000
 
+# targets at or below this count (but above the broadcast threshold)
+# take the grid-cogroup strategy; beyond it, the ring path (which never
+# materializes per-cell target arrays) is the safe choice.
+KNN_GRID_MAX_TARGETS = 10_000_000
+
+
+def _topk_by_dots(dots: np.ndarray, tid: np.ndarray, kk: int) -> np.ndarray:
+    """Row-wise exact top-k column indices by (-dot, id) — nearest
+    first, smallest id on exact ties.
+
+    argpartition selects the m = k+64 largest dots in O(T), then only
+    those m are lexsorted — O(T + m log m) per row instead of the full
+    O(T log T) lexsort (which made k>1 broadcasts pathologically slow
+    at 100k+ targets). Exactness guard: when a row's k-th kept dot
+    equals the partition boundary's minimum, the id tie-break could
+    reach outside the partition — those (rare: requires ≥64-way exact
+    dot ties, i.e. co-located targets) rows fall back to the full
+    lexsort."""
+    n_t = dots.shape[1]
+    if kk >= n_t:
+        return np.lexsort((np.broadcast_to(tid, dots.shape), -dots), axis=-1)[:, :kk]
+    m = min(n_t, kk + 64)
+    part = np.argpartition(-dots, m - 1, axis=1)[:, :m]
+    pd_dots = np.take_along_axis(dots, part, axis=1)
+    ids_m = tid[part]
+    order = np.lexsort((ids_m, -pd_dots), axis=-1)[:, :kk]
+    j = np.take_along_axis(part, order, axis=1)
+    if m < n_t:
+        kth = np.take_along_axis(dots, j[:, -1:], axis=1)[:, 0]
+        risky = kth <= pd_dots.min(axis=1)
+        if np.any(risky):
+            full = np.lexsort(
+                (np.broadcast_to(tid, dots[risky].shape), -dots[risky]), axis=-1
+            )[:, :kk]
+            j[risky] = full
+    return j
+
 
 def _knn_broadcast(
     points: DataFrame,
@@ -302,8 +339,7 @@ def _knn_broadcast(
                     # maximum → smallest id wins exact ties
                     j = np.argmax(dots, axis=1)[:, None]
                 else:
-                    keys_id = np.broadcast_to(tid, dots.shape)
-                    j = np.lexsort((keys_id, -dots), axis=-1)[:, :kk]
+                    j = _topk_by_dots(dots, tid, kk)
                 rows = np.repeat(np.arange(s, e), kk)
                 jf = j.ravel()
                 out = pdf.iloc[rows][point_cols].reset_index(drop=True)
@@ -316,6 +352,202 @@ def _knn_broadcast(
                 yield out
 
     return points.mapInPandas(gen, schema)
+
+
+def _knn_grid(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    point_key: str,
+    target_key: str,
+    lon_col: str,
+    lat_col: str,
+    t_lon: str,
+    t_lat: str,
+    res: int | None = None,
+    targets_per_cell: int = 512,
+    max_points_per_task: int = 50_000,
+) -> DataFrame:
+    """Grid-cogroup kNN — the mid-regime strategy (targets too big to
+    broadcast, small enough to replicate ×9 across neighbor cells).
+
+    Plan shape: points shuffle ONCE to their density-derived grid cell;
+    targets replicate to their 3×3 cell neighborhood (×9 rows — the
+    only data amplification); a cogrouped Arrow kernel computes exact
+    top-k per point with the same chord-dot BLAS matmul as the
+    broadcast kernel — no per-candidate row explosion and no window
+    sort over candidates, which is what makes the ring path's rounds
+    expensive. A point is resolved when its k-th neighbor distance is
+    within the ring-1 guarantee (1 × min cell extent at its latitude:
+    everything unsearched is at least one full cell away); unresolved
+    points (sparse neighborhoods) are emitted with a null target and
+    escalated by the caller to the ring path.
+
+    Skew: a dense-metro point cell would make one cogroup task hot, and
+    AQE cannot split grouped-map groups — so a one-pass point-cell
+    histogram (broadcast: only hot cells survive the filter) salts hot
+    cells into ceil(n/max_points_per_task) subgroups, replicating the
+    cell's TARGET side per salt (the same partial-results shape as
+    geoagg.salted_adaptive). Exactness is unaffected: every point sees
+    its full 3×3 target set in exactly one subgroup.
+    """
+    t_stats = targets.agg(
+        F.min(t_lon), F.max(t_lon), F.min(t_lat), F.max(t_lat), F.count(F.lit(1))
+    ).first()
+    n_targets = t_stats[4] or 0
+    if res is None:
+        import math
+
+        # density-derived: one occupied cell holds ~targets_per_cell
+        # targets, so the 3×3 kernel sees ~9·targets_per_cell candidates
+        # — enough that the k-th distance is far inside the guarantee.
+        if n_targets:
+            span_x = max(float(t_stats[1] - t_stats[0]), 1e-9)
+            span_y = max(float(t_stats[3] - t_stats[2]), 1e-9)
+            n_side = math.sqrt(
+                max(1.0, (n_targets / targets_per_cell) * (360.0 * 180.0) / (span_x * span_y))
+            )
+            res = min(24, max(4, math.ceil(math.log2(max(2.0, n_side)))))
+        else:
+            res = 8
+    n = 1 << res
+    cell_h_m = 180.0 / n * geom.EARTH_M_PER_DEG_LAT
+    mask = (1 << 29) - 1
+    res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+
+    p = points.select(
+        point_key, lon_col, lat_col,
+        cells.cell_col(F.col(lat_col), F.col(lon_col), res).alias("_cell"),
+    )
+    t0 = targets.select(
+        target_key, t_lon, t_lat,
+        cells.cell_col(F.col(t_lat), F.col(t_lon), res).alias("_tc"),
+    )
+    tx = F.shiftright(F.col("_tc"), 29).bitwiseAND(F.lit(mask))
+    ty = F.col("_tc").bitwiseAND(F.lit(mask))
+    cells9 = F.flatten(
+        F.transform(
+            F.sequence(F.greatest(tx - 1, F.lit(0)), F.least(tx + 1, F.lit(n - 1))),
+            lambda x: F.transform(
+                F.sequence(F.greatest(ty - 1, F.lit(0)), F.least(ty + 1, F.lit(n - 1))),
+                lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,
+            ),
+        )
+    )
+    t_rep = t0.withColumn("_cell", F.explode(cells9)).drop("_tc")
+
+    # point-cell histogram → salt factor for hot cells only (broadcast)
+    hot = (
+        p.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_points_per_task)
+        .select(
+            "_cell",
+            F.ceil(F.col("_n") / F.lit(max_points_per_task)).cast("int").alias("_g"),
+        )
+    )
+    p2 = p.join(F.broadcast(hot), "_cell", "left").withColumn(
+        "_salt",
+        F.coalesce(
+            F.pmod(F.xxhash64(F.col(point_key)), F.col("_g")).cast("int"), F.lit(0)
+        ),
+    ).drop("_g")
+    t2 = t_rep.join(F.broadcast(hot), "_cell", "left").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_g"), F.lit(1)) - 1))
+    ).drop("_g")
+
+    tgt_field = T.StructField(
+        target_key, targets.schema[target_key].dataType, True
+    )
+    schema = T.StructType(
+        [
+            T.StructField(point_key, p.schema[point_key].dataType, False),
+            T.StructField(lon_col, T.DoubleType()),
+            T.StructField(lat_col, T.DoubleType()),
+            tgt_field,
+            T.StructField(t_lon, T.DoubleType()),
+            T.StructField(t_lat, T.DoubleType()),
+            T.StructField("_dist_m", T.DoubleType()),
+        ]
+    )
+
+    kk = k
+    guar_scale = float(cell_h_m) * 0.999
+
+    def kernel(key, pts_pdf: pd.DataFrame, tgt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pts_pdf) == 0:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        pid = pts_pdf[point_key].to_numpy()
+        plon = pts_pdf[lon_col].to_numpy(dtype=np.float64)
+        plat = pts_pdf[lat_col].to_numpy(dtype=np.float64)
+        n_p = len(pid)
+        unresolved = pd.DataFrame(
+            {
+                point_key: pid,
+                lon_col: plon,
+                lat_col: plat,
+                target_key: pd.array([None] * n_p, dtype=object),
+                t_lon: np.nan,
+                t_lat: np.nan,
+                "_dist_m": np.nan,
+            }
+        )
+        if len(tgt_pdf) < k:
+            return unresolved
+        tid = tgt_pdf[target_key].to_numpy()
+        tlon = tgt_pdf[t_lon].to_numpy(dtype=np.float64)
+        tlat = tgt_pdf[t_lat].to_numpy(dtype=np.float64)
+        trlat, trlon = np.radians(tlat), np.radians(tlon)
+        T3 = np.stack(
+            [np.cos(trlat) * np.cos(trlon), np.cos(trlat) * np.sin(trlon), np.sin(trlat)],
+            axis=1,
+        )
+        prlat, prlon = np.radians(plat), np.radians(plon)
+        P3 = np.stack(
+            [np.cos(prlat) * np.cos(prlon), np.cos(prlat) * np.sin(prlon), np.sin(prlat)],
+            axis=1,
+        )
+        outs = []
+        chunk = max(1, 4_000_000 // max(len(tid), 1))
+        for s in range(0, n_p, chunk):
+            e = min(n_p, s + chunk)
+            dots = P3[s:e] @ T3.T
+            # always the explicit (-dot, id) top-k: unlike the broadcast
+            # kernel, per-cell target ids arrive UNSORTED, so argmax's
+            # first-max shortcut would break the smallest-id tie rule
+            j = _topk_by_dots(dots, tid, kk)
+            jf = j.ravel()
+            rep_lat = np.repeat(plat[s:e], kk)
+            rep_lon = np.repeat(plon[s:e], kk)
+            dist = geom.haversine_m(rep_lat, rep_lon, tlat[jf], tlon[jf])
+            kth = dist.reshape(-1, kk)[:, -1]
+            guar = guar_scale * np.minimum(
+                1.0, 2.0 * np.cos(np.radians(plat[s:e]))
+            )
+            ok = kth <= guar
+            okr = np.repeat(ok, kk)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        point_key: np.repeat(pid[s:e], kk)[okr],
+                        lon_col: rep_lon[okr],
+                        lat_col: rep_lat[okr],
+                        target_key: tid[jf][okr],
+                        t_lon: tlon[jf][okr],
+                        t_lat: tlat[jf][okr],
+                        "_dist_m": dist[okr],
+                    }
+                )
+            )
+            if not ok.all():
+                bad = ~ok
+                outs.append(unresolved.iloc[s:e][np.asarray(bad)])
+        return pd.concat(outs, ignore_index=True)
+
+    grouped = p2.groupBy("_cell", "_salt").cogroup(t2.groupBy("_cell", "_salt"))
+    # localCheckpoint: the caller splits resolved/unresolved and counts —
+    # without it the cogroup kernel would run once per downstream action
+    return grouped.applyInPandas(kernel, schema).localCheckpoint()
 
 
 def knn_join(
@@ -332,15 +564,22 @@ def knn_join(
     max_rounds: int = 6,
     strategy: str = "auto",
     broadcast_threshold: int = KNN_BROADCAST_MAX_TARGETS,
+    grid_threshold: int = KNN_GRID_MAX_TARGETS,
 ) -> DataFrame:
     """J8 — k nearest targets per point, exact.
 
     Physical strategy selection (like Catalyst's broadcast-vs-shuffle
-    join choice): when the target side fits a broadcast
-    (``strategy='auto'`` probes it with a cheap limit+count), use the
-    broadcast-local numpy kernel — one shuffle-free map pass over the
-    points. Otherwise fall back to the distributed ring-expansion
-    search below, which never materializes the target side anywhere.
+    join choice), three tiers probed with cheap limit+counts under
+    ``strategy='auto'``:
+
+    * ``broadcast`` (≤ 100k targets): target side shipped whole, one
+      shuffle-free map pass over the points (_knn_broadcast);
+    * ``grid`` (≤ 10M targets): points co-partitioned with ×9-replicated
+      targets by density-derived cell, local chord-matmul top-k per
+      cogroup, ring-1 guarantee, stragglers escalate to ring
+      (_knn_grid — the mid-regime answer, NOTES_r1 gap);
+    * ``ring``: the distributed ring-expansion search below, which
+      never materializes the target side anywhere.
 
     Ring-expansion candidate search: round r joins each unresolved
     point's cell k-ring (radius 2^r − 1 cells, built with a JVM-side
@@ -362,7 +601,7 @@ def knn_join(
     broadcast path emits per input row; uniqueness makes every
     strategy agree.
     """
-    if strategy not in ("auto", "broadcast", "ring"):
+    if strategy not in ("auto", "broadcast", "grid", "ring"):
         raise ValueError(f"unknown kNN strategy {strategy!r}")
     if strategy == "broadcast" or (
         strategy == "auto"
@@ -378,6 +617,28 @@ def knn_join(
             t_lon,
             t_lat,
         )
+    if strategy == "grid" or (
+        strategy == "auto"
+        and targets.limit(grid_threshold + 1).count() <= grid_threshold
+    ):
+        grid_out = _knn_grid(
+            points.select(point_key, lon_col, lat_col),
+            targets, k, point_key, target_key, lon_col, lat_col, t_lon, t_lat,
+            res=res,
+        )
+        resolved = grid_out.filter(F.col(target_key).isNotNull())
+        unres = grid_out.filter(F.col(target_key).isNull()).select(
+            point_key, lon_col, lat_col
+        )
+        if unres.limit(1).isEmpty():
+            return resolved
+        # sparse-neighborhood stragglers escalate to the ring search,
+        # which carries its own guarantee + brute-force tail
+        fb = knn_join(
+            unres, targets, None, k, point_key, target_key,
+            lon_col, lat_col, t_lon, t_lat, max_rounds, strategy="ring",
+        )
+        return resolved.unionByName(fb.select(*resolved.columns))
 
     from ..functions.geo import haversine_m
 
@@ -426,10 +687,17 @@ def knn_join(
 
     from pyspark.sql import Window
 
-    unresolved = p0.persist()
+    # Eager localCheckpoint, not persist(): each round's working set is
+    # materialized as RDD blocks with TRUNCATED lineage. The persist()
+    # formulation routed every round through AQE TableCacheQueryStage,
+    # whose cache-materialization interleaves with broadcast builds and
+    # (observed, local mode under concurrent stages) fails the
+    # broadcast's execution-memory acquisition — "Not enough memory to
+    # build and broadcast" with 99% of the heap free. Checkpointed
+    # rounds also stop the plan from growing round-over-round.
+    unresolved = p0.localCheckpoint()
     n_unresolved = unresolved.count()
     results: list[DataFrame] = []
-    to_unpersist = [unresolved]
 
     # Density-adaptive initial ring: starting at ring 1 when targets
     # are sparse burns 2-3 full join+window rounds before the
@@ -469,7 +737,14 @@ def knn_join(
             )
         )
         probe = unresolved.withColumn("_tcell", F.explode(cand_cells))
-        cand = probe.join(t, "_tcell").withColumn(
+        # shuffle_hash hint on the target side: this path exists for
+        # target tables too big to materialize on one node, so letting
+        # the local planner broadcast t whenever it LOOKS small would be
+        # the wrong plan at scale — and empirically the driver-side
+        # build of a ~150k-row broadcast OOMs under concurrent AQE
+        # stages (Spark 4.1 local mode). Cell-equi shuffle join keeps
+        # both sides distributed, skew handled by AQE.
+        cand = probe.join(t.hint("shuffle_hash"), "_tcell").withColumn(
             "_dist_m", haversine_m(F.col(lat_col), F.col(lon_col), F.col(t_lat), F.col(t_lon))
         )
         w = Window.partitionBy(point_key).orderBy(F.asc("_dist_m"), F.asc(target_key))
@@ -490,21 +765,21 @@ def knn_join(
             F.max(F.col("_dist_m")).over(Window.partitionBy(point_key)) <= guarantee_m
         ) & (F.count(F.lit(1)).over(Window.partitionBy(point_key)) >= k)
         resolved = (
-            topk.withColumn("_ok", guarantee).filter(F.col("_ok")).drop("_ok", "_rn").persist()
+            topk.withColumn("_ok", guarantee)
+            .filter(F.col("_ok"))
+            .drop("_ok", "_rn")
+            .localCheckpoint()
         )
-        to_unpersist.append(resolved)
         results.append(resolved)
         done_keys = resolved.select(point_key).distinct()
-        nxt = unresolved.join(done_keys, point_key, "left_anti").persist()
-        to_unpersist.append(nxt)
-        unresolved = nxt
+        unresolved = unresolved.join(done_keys, point_key, "left_anti").localCheckpoint()
         n_unresolved = unresolved.count()
         ring *= 4  # 1 → 4 → 16 cells: three density regimes, then brute force
 
     if n_unresolved > 0:
-        # exact brute-force for stragglers — rare, bounded (AQE picks
-        # broadcast when the target side is small enough)
-        cand = unresolved.drop("_pcell").crossJoin(t.drop("_tcell")).withColumn(
+        # exact brute-force for stragglers — rare, bounded; broadcast
+        # the STRAGGLER side (small by construction), never the targets
+        cand = F.broadcast(unresolved.drop("_pcell")).crossJoin(t.drop("_tcell")).withColumn(
             "_dist_m", haversine_m(F.col(lat_col), F.col(lon_col), F.col(t_lat), F.col(t_lon))
         )
         w = Window.partitionBy(point_key).orderBy(F.asc("_dist_m"), F.asc(target_key))
@@ -515,10 +790,9 @@ def knn_join(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r.drop("_pcell"), allowMissingColumns=True)
-    out = out.drop("_pcell").localCheckpoint()
-    for df_ in to_unpersist:
-        df_.unpersist()
-    return out
+    # intermediate checkpoint blocks are released when their RDDs are
+    # garbage-collected; the returned frame carries only its own blocks
+    return out.drop("_pcell").localCheckpoint()
 
 
 # ---------------------------------------------------------------------------

@@ -112,7 +112,7 @@ def test_knn_matches_bruteforce(spark, points_df):
         j = int(np.lexsort((tgt_pd.target_id.to_numpy(), d))[0])
         want.add((int(p.point_id), int(tgt_pd.target_id[j])))
     # both physical strategies must produce the identical exact answer
-    for strategy in ("broadcast", "ring"):
+    for strategy in ("broadcast", "grid", "ring"):
         got = {
             (r["point_id"], r["target_id"])
             for r in spatial.knn_join(pdf_s, tgt, res=14, k=1, strategy=strategy).collect()
@@ -151,16 +151,17 @@ def test_knn_strategies_agree_k3(spark, points_df):
         .toPandas()
         .sort_values(["point_id", "_dist_m", "target_id"])
         .reset_index(drop=True)
-        for s in ("broadcast", "ring")
+        for s in ("broadcast", "grid", "ring")
     }
     assert len(frames["broadcast"]) == 3 * len(pdf)
-    pd.testing.assert_frame_equal(
-        frames["broadcast"][["point_id", "target_id"]],
-        frames["ring"][["point_id", "target_id"]],
-    )
-    np.testing.assert_allclose(
-        frames["broadcast"]["_dist_m"], frames["ring"]["_dist_m"], rtol=1e-9
-    )
+    for other in ("grid", "ring"):
+        pd.testing.assert_frame_equal(
+            frames["broadcast"][["point_id", "target_id"]],
+            frames[other][["point_id", "target_id"]],
+        )
+        np.testing.assert_allclose(
+            frames["broadcast"]["_dist_m"], frames[other]["_dist_m"], rtol=1e-9
+        )
 
 
 def test_image_tile_assignment_and_caption_equality(spark, images_df, images_pd):
@@ -281,3 +282,59 @@ def test_knn_ring_auto_res_agrees(spark, points_df):
         for r in spatial.knn_join(pdf_s, tgt, res=None, k=1, strategy="broadcast").collect()
     }
     assert ring == bc and len(ring) == len(pdf)
+
+
+def test_knn_grid_salted_hot_cell_and_escalation(spark):
+    """Grid strategy internals: (a) a hot point cell far above
+    max_points_per_task splits into salted subgroups with the pair
+    results unchanged; (b) points whose 3x3 neighborhood is empty
+    escalate and still resolve exactly (via knn_join's ring tail)."""
+    rng = np.random.default_rng(3)
+    n_p, n_t = 3000, 400
+    # all points in one tight cluster (one grid cell at most res) plus
+    # a far-away straggler with no nearby targets
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(n_p + 1),
+            "lon": np.append(rng.uniform(-122.41, -122.40, n_p), -100.0),
+            "lat": np.append(rng.uniform(37.70, 37.71, n_p), 10.0),
+        }
+    )
+    tgt_pd = pd.DataFrame(
+        {
+            "target_id": np.arange(n_t),
+            "t_lon": rng.uniform(-122.45, -122.35, n_t),
+            "t_lat": rng.uniform(37.65, 37.75, n_t),
+        }
+    )
+    pts, tgt = spark.createDataFrame(pdf), spark.createDataFrame(tgt_pd)
+    # brute-force oracle
+    want = {}
+    for _, p in pdf.iterrows():
+        d = g.haversine_m(p.lat, p.lon, tgt_pd.t_lat.to_numpy(), tgt_pd.t_lon.to_numpy())
+        order = np.lexsort((tgt_pd.target_id.to_numpy(), d))[:2]
+        want[int(p.point_id)] = [int(tgt_pd.target_id[j]) for j in order]
+
+    # force tiny salting buckets so the hot cluster cell splits
+    out = spatial._knn_grid(
+        pts, tgt, 2, "point_id", "target_id", "lon", "lat", "t_lon", "t_lat",
+        max_points_per_task=200,
+    )
+    resolved = out.filter(F.col("target_id").isNotNull()).toPandas()
+    unres = out.filter(F.col("target_id").isNull()).toPandas()
+    assert int(unres["point_id"].iloc[0]) == n_p if len(unres) else True
+    for pid, grp in resolved.groupby("point_id"):
+        got = list(grp.sort_values(["_dist_m", "target_id"])["target_id"].astype(int))
+        assert got == want[int(pid)], pid
+
+    # full knn_join with forced grid strategy resolves EVERY point,
+    # including the escalated straggler
+    full = (
+        spatial.knn_join(pts, tgt, None, k=2, strategy="grid")
+        .select("point_id", "target_id", "_dist_m")
+        .toPandas()
+    )
+    assert len(full) == 2 * (n_p + 1)
+    for pid, grp in full.groupby("point_id"):
+        got = list(grp.sort_values(["_dist_m", "target_id"])["target_id"].astype(int))
+        assert got == want[int(pid)], pid
