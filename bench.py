@@ -342,6 +342,33 @@ def main():
 
         run("j8c_knn_ring_200k", j8c_ring, best_of=reps)
 
+        # j8d: the grid-cogroup (mid-regime) strategy in ITS regime —
+        # 1M targets, too big to broadcast, small enough to ×9-replicate.
+        # Strategy-vs-strategy evidence lives in BENCH/KNN_REGIMES.md
+        # (tools/knn_regime_bench.py); this row tracks the regime the
+        # auto-selector actually uses for 100k–10M targets.
+        def grid_targets_cache() -> str:
+            path = "/tmp/spark_graft_bench_gridtgt_1m.parquet"
+            if os.path.exists(path):
+                return path
+            ids = spark.range(1_000_000).select(F.col("id").alias("target_id"))
+            key = F.col("target_id") * 7 + 3
+            ids.select(
+                "target_id",
+                OQ.lon_col(key).alias("t_lon"),
+                OQ.lat_col(key).alias("t_lat"),
+            ).repartition(64).write.mode("overwrite").parquet(path)
+            return path
+
+        grid_targets_cache()  # build outside the timed region
+
+        def j8d_grid():
+            pts = li_points_1x()
+            tgt = spark.read.parquet(grid_targets_cache())
+            return spatial.knn_join(pts, tgt, res=None, k=1, strategy="grid").count()
+
+        run("j8d_knn_grid_1m", j8d_grid, best_of=reps)
+
         run("j1_multiway_join", lambda: OQ.j1_multiway_join(spark, sf_dir).count(), best_of=reps)
         run(
             "a7_ordered_collect", lambda: OQ.a7_ordered_collect(spark, sf_dir).count(), best_of=reps

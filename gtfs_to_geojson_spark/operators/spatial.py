@@ -226,9 +226,11 @@ def point_in_polygon_join(
 KNN_BROADCAST_MAX_TARGETS = 100_000
 
 # targets at or below this count (but above the broadcast threshold)
-# take the grid-cogroup strategy; beyond it, the ring path (which never
-# materializes per-cell target arrays) is the safe choice.
-KNN_GRID_MAX_TARGETS = 10_000_000
+# take the grid-cogroup strategy; beyond it, the ring path — measured
+# crossover (BENCH/KNN_REGIMES.md, 600k points): grid wins 3.4× at
+# 200k targets, ties at 1M, loses 3× at 4M (dense targets resolve the
+# ring in one cheap round, while grid pays ×9 target replication).
+KNN_GRID_MAX_TARGETS = 2_000_000
 
 
 def _topk_by_dots(dots: np.ndarray, tid: np.ndarray, kk: int) -> np.ndarray:
@@ -574,7 +576,7 @@ def knn_join(
 
     * ``broadcast`` (≤ 100k targets): target side shipped whole, one
       shuffle-free map pass over the points (_knn_broadcast);
-    * ``grid`` (≤ 10M targets): points co-partitioned with ×9-replicated
+    * ``grid`` (≤ 2M targets): points co-partitioned with ×9-replicated
       targets by density-derived cell, local chord-matmul top-k per
       cogroup, ring-1 guarantee, stragglers escalate to ring
       (_knn_grid — the mid-regime answer, NOTES_r1 gap);

@@ -1,0 +1,102 @@
+"""kNN strategy-regime comparison → BENCH/KNN_REGIMES.md.
+
+Times every applicable kNN physical strategy on the same (points,
+targets) input at several target-side sizes, so the auto-selector's
+thresholds (broadcast ≤100k < grid ≤10M < ring) are evidence, not
+guesses. Run manually per round:
+
+    python tools/knn_regime_bench.py [--cpus 16]
+
+Inputs are well-chunked /tmp parquet caches (same single-file-source
+rationale as bench.py); each (strategy, size) is best-of-2 fresh runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cache_points(spark, n: int, tag: str, id_col: str, lon: str, lat: str) -> str:
+    from pyspark.sql import functions as F
+
+    from gtfs_to_geojson_spark.plans import oracle_queries as OQ
+
+    path = f"/tmp/spark_graft_knnreg_{tag}_{n}.parquet"
+    if os.path.exists(path):
+        return path
+    key = F.col("id") * 7 + 3 if tag == "tgt" else F.col("id") * 37 + 11
+    spark.range(n).select(
+        F.col("id").alias(id_col),
+        OQ.lon_col(key).alias(lon),
+        OQ.lat_col(key).alias(lat),
+    ).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--n-points", type=int, default=600_000)
+    ap.add_argument("--k", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from gtfs_to_geojson_spark.operators import spatial
+    from gtfs_to_geojson_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="knn-regime-bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    p_path = cache_points(spark, args.n_points, "pts", "point_id", "lon", "lat")
+    pts = spark.read.parquet(p_path)
+
+    sizes = [50_000, 200_000, 1_000_000, 4_000_000]
+    rows = []
+    for n_t in sizes:
+        t_path = cache_points(spark, n_t, "tgt", "target_id", "t_lon", "t_lat")
+        tgt = spark.read.parquet(t_path)
+        strategies = ["grid", "ring"] + (["broadcast"] if n_t <= 200_000 else [])
+        counts = {}
+        for s in strategies:
+            best = None
+            for _ in range(args.reps):
+                t0 = time.time()
+                n = spatial.knn_join(
+                    pts, tgt, res=None, k=args.k, strategy=s
+                ).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                counts[s] = n
+            rows.append((n_t, s, round(best, 2), n))
+            print(f"targets={n_t} strategy={s}: {best:.2f}s rows={n}", flush=True)
+        assert len(set(counts.values())) == 1, f"row-count mismatch at {n_t}: {counts}"
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/KNN_REGIMES.md", "w") as f:
+        f.write(
+            "# kNN strategy regimes (local[%d], %d points, k=%d, best-of-%d)\n\n"
+            % (args.cpus, args.n_points, args.k, args.reps)
+        )
+        f.write(
+            "Same input, forced strategies, identical output row counts "
+            "(asserted). Auto-selection thresholds: broadcast ≤100k targets, "
+            "grid ≤10M, ring beyond.\n\n"
+        )
+        f.write("| targets | strategy | sec |\n|---|---|---|\n")
+        for n_t, s, dt, _ in rows:
+            f.write(f"| {n_t:,} | {s} | {dt} |\n")
+    print("wrote BENCH/KNN_REGIMES.md")
+
+
+if __name__ == "__main__":
+    main()
