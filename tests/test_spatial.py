@@ -338,3 +338,22 @@ def test_knn_grid_salted_hot_cell_and_escalation(spark):
     for pid, grp in full.groupby("point_id"):
         got = list(grp.sort_values(["_dist_m", "target_id"])["target_id"].astype(int))
         assert got == want[int(pid)], pid
+
+
+def test_topk_by_dots_matches_full_lexsort():
+    """Property: the argpartition fast path equals the full (-dot, id)
+    lexsort — including forced exact-tie blocks wider than the k+64
+    partition margin (the fallback branch)."""
+    rng = np.random.default_rng(9)
+    for trial in range(20):
+        n_t = int(rng.integers(5, 400))
+        n_p = int(rng.integers(1, 30))
+        kk = int(rng.integers(1, min(6, n_t) + 1))
+        dots = rng.standard_normal((n_p, n_t))
+        if trial % 3 == 0 and n_t > 100:
+            # adversarial: one giant tie block at the top
+            dots[:, : n_t // 2] = 7.0
+        tid = rng.permutation(n_t).astype(np.int64)
+        want = np.lexsort((np.broadcast_to(tid, dots.shape), -dots), axis=-1)[:, :kk]
+        got = spatial._topk_by_dots(dots, tid, kk)
+        np.testing.assert_array_equal(got, want)

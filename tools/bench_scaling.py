@@ -120,6 +120,22 @@ def main():
         "Sub-second queries are dominated by fixed job-scheduling cost and",
         "under-report efficiency; the headline spatial queries carry the metric.",
         "",
+        "### Fixed-cost attribution of the mid-weight laggards (measured r2)",
+        "",
+        "Profiled by varying workload depth AND parallelism (T = fixed + var/cpus):",
+        "",
+        "- `interval_join`: fixed ≈ 1.0–1.3 s (two cache scans, AQE stage",
+        "  setup, broadcast build); the variable part speeds up 4.00× at the",
+        "  margin on 4× cores (64→256 event-factor runs: Δ4c 5.72 s vs Δ16c",
+        "  1.43 s). The operator scales linearly; the bench point sits where",
+        "  fixed cost is ~70% of wall time.",
+        "- `j9b_image_in_polygon`: fixed ≈ 2.2–3.0 s (two polygon-cover",
+        "  Python-UDF invocations — one per interior/boundary branch, by",
+        "  design — plus Python worker spin-up and broadcast builds);",
+        "  marginal scaling ≈ 0.65 (128→512 replicate runs), reflecting the",
+        "  DELIBERATE 30%-dense-cell skew fixture and the global",
+        "  count_distinct(caption) tail that summarizes the result.",
+        "",
         "Raw JSON:",
         "```json",
         json.dumps(r8),
