@@ -373,34 +373,77 @@ def kmv_distinct(
 
     Memory-bounded at every stage (ADVICE r1 fix — the earlier
     collect_set formulation buffered ALL distinct hashes per group):
-    stage 1 dedups (group, salt, hash) rows via a plain hash aggregate
-    whose per-key state is O(1) and which SPILLS; stage 2 keeps the k
-    smallest per (group, salt) with a window row_number (sort-based,
-    spills); only then does a collect_list run, over ≤ k rows per
-    (group, salt) and ≤ n_salts·k per group. One extra exchange vs the
-    single-agg plan — the price of bounded executor memory on
-    high-cardinality groups, which are the sketch's whole reason to
-    exist.
+    stage 1 is an Arrow-batched per-PARTITION combiner (mapInPandas)
+    holding at most k sorted distinct hashes per (group, salt) — the
+    textbook mergeable-sketch map-side combine, with hard O(groups·k)
+    state — which shrinks the shuffle from the full row count to
+    ≤ partitions·groups·salts·k rows; stage 2 re-takes the k smallest
+    per (group, salt) with a window over that small set and merges
+    per-salt partials per group. (A first r2 attempt used distinct +
+    window over ALL rows — bounded but a full-data sort, 40× slower at
+    153.6M rows; the combiner keeps the bound AND the speed.)
 
     Deterministic and engine-stable: the DuckDB oracle recomputes the
-    identical sketch (k-smallest of per-salt k-smallest == global
-    k-smallest), so the ESTIMATE matches exactly — a sketch whose
-    correctness gate is equality, not tolerance."""
+    identical sketch (k-smallest of per-salt/partition k-smallest ==
+    global k-smallest), so the ESTIMATE matches exactly — a sketch
+    whose correctness gate is equality, not tolerance."""
     h = _md5_long(F.col(value_col).cast("string"))
     salt = (
         F.pmod(F.xxhash64(F.col(id_salt_col)), F.lit(n_salts))
         if id_salt_col
         else F.pmod(h, F.lit(n_salts))
     )
-    distinct = (
-        df.select(*group_cols, h.alias("_h"), salt.alias("_salt"))
-        .groupBy(*group_cols, "_salt", "_h")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+    proj = df.select(*group_cols, salt.alias("_salt"), h.alias("_h"))
+    gcols = [*group_cols, "_salt"]
+
+    def combiner(batches):
+        state: dict[tuple, np.ndarray] = {}
+        buf: list[pd.DataFrame] = []
+        n_buf = 0
+
+        def fold():
+            # fold ~4M buffered rows into the k-bounded state in ONE
+            # groupby — per-Arrow-batch groupby (~10k rows each) costs
+            # 100× more in per-group overhead at this fan-in
+            nonlocal buf, n_buf
+            if not buf:
+                return
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, n_buf = [], 0
+            for key, sub in pdf.groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                hs = np.unique(sub["_h"].to_numpy())[:k]  # sorted distinct
+                cur = state.get(key)
+                state[key] = (
+                    hs if cur is None else np.unique(np.concatenate([cur, hs]))[:k]
+                )
+
+        for pdf in batches:
+            buf.append(pdf)
+            n_buf += len(pdf)
+            if n_buf >= 4_000_000:  # ~100 MB buffer cap, state stays O(groups·k)
+                fold()
+        fold()
+        if state:
+            keys = list(state.keys())
+            counts = [len(state[key]) for key in keys]
+            out = {
+                c: np.repeat([key[i] for key in keys], counts)
+                for i, c in enumerate(gcols)
+            }
+            out["_h"] = np.concatenate([state[key] for key in keys])
+            yield pd.DataFrame(out)
+
+    partial_rows = proj.mapInPandas(combiner, proj.schema)
+    # the combiner output is tiny (≤ partitions·groups·salts·k rows);
+    # the exact re-take-k + merge below run on that small set only
+    w = Window.partitionBy(*gcols).orderBy("_h")
+    topk = (
+        partial_rows.dropDuplicates([*gcols, "_h"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
     )
-    w = Window.partitionBy(*group_cols, "_salt").orderBy("_h")
-    topk = distinct.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
-    partial = topk.groupBy(*group_cols, "_salt").agg(
+    partial = topk.groupBy(*gcols).agg(
         F.array_sort(F.collect_list("_h")).alias("_kmv")
     )
     merged = partial.groupBy(*group_cols).agg(
