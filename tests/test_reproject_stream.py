@@ -430,3 +430,43 @@ def test_stream_asof_equal_ts_click_across_batches(spark, tmp_path):
     got = spark.read.parquet(out_dir).toPandas()
     assert len(got) == 1
     assert int(got.iloc[0]["click_id"]) == 5  # max event_id at the tie, not 3
+
+
+def test_lcc_property_roundtrip_random_params():
+    """Property: for random valid LCC parameter sets (1SP and 2SP,
+    random ellipsoids/origins/offsets), forward∘inverse is identity to
+    <1e-9° across the projection's sweet band."""
+    from hypothesis import given, settings, strategies as st
+
+    from gtfs_to_geojson_spark.sources.reproject import LccProjection
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        lat1=st.floats(10, 60),
+        dlat2=st.floats(0, 15),
+        lon0=st.floats(-170, 170),
+        k0=st.floats(0.9996, 1.0),
+        x0=st.floats(0, 1e6),
+        y0=st.floats(0, 1e6),
+        inv_f=st.sampled_from([298.257223563, 299.1528128, 0.0]),  # wgs84/bessel/sphere
+    )
+    def check(lat1, dlat2, lon0, k0, x0, y0, inv_f):
+        p = {
+            "lat_1": lat1, "lat_0": lat1, "lon_0": lon0,
+            "k_0": k0, "x_0": x0, "y_0": y0, "a": 6378137.0,
+        }
+        if inv_f:
+            p["rf"] = inv_f
+        if dlat2 > 0.5:
+            p["lat_2"] = lat1 + dlat2
+            p["lat_0"] = lat1 + dlat2 / 2
+        lcc = LccProjection(p)
+        rng = np.random.default_rng(1)
+        lon = lon0 + rng.uniform(-5, 5, 50)
+        lat = lat1 + rng.uniform(-3, 3, 50)
+        x, y = lcc.forward(lon, lat)
+        lon2, lat2 = lcc.inverse(x, y)
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
+
+    check()
