@@ -185,27 +185,33 @@ def point_in_polygon_join(
     through the vectorized ray-cast residual. Used for stop-in-
     dissolved-buffer and image-in-route-polygon (J9) assignment."""
     cov = polygon_cover_udf(res)
-    # deterministic polygon key (NOT monotonically_increasing_id —
-    # a nondeterministic key makes the two join branches' broadcast
-    # subtrees unequal, so ReuseExchange can't kick in and the cover
-    # UDF + broadcast build would run twice)
+    # deterministic polygon key (NOT monotonically_increasing_id — the
+    # key must be identical across the two join branches and stable for
+    # the pip kernel's per-polygon grouping)
     pg = (
         polygons.withColumn("_key", F.xxhash64(F.to_json(F.col(poly_col))))
         .withColumn("_cc", F.explode(cov(F.col(poly_col))))
         .withColumn("_cell", F.col("_cc.cell"))
         .withColumn("_interior", F.col("_cc.interior"))
         .drop("_cc")
+        # materialize the exploded cover ONCE (r2): the two branches
+        # below each broadcast a differently-filtered build side, which
+        # previously re-ran the cover UDF per branch; the cover frame is
+        # bounded by the same smallness assumption that lets it be
+        # broadcast at all, so an eager checkpoint costs one tiny job
+        # and halves the Python cover work + worker spin-ups
+        .localCheckpoint()
     )
     pt = points.withColumn("_cell", cells.cell_col(F.col(lat_col), F.col(lon_col), res))
     joined = pt.join(pg, "_cell").drop("_cell")
     # Python UDFs are evaluated in their own stage BEFORE a filter, so an
     # `interior | pip()` expression would still ray-cast every candidate.
     # Split physically: interior candidates never touch Python. Catalyst
-    # then pushes each branch's _interior predicate INTO its broadcast
-    # build side, so branch 1 broadcasts only interior cover cells and
-    # joins entirely in the JVM, and branch 2 broadcasts only the
-    # boundary rim and ray-casts only those candidates. The cover UDF
-    # evaluates once per branch, but over the (small) polygon side only.
+    # pushes each branch's _interior predicate INTO its broadcast build
+    # side (now a filter over the checkpointed cover rows), so branch 1
+    # broadcasts only interior cover cells and joins entirely in the
+    # JVM, and branch 2 broadcasts only the boundary rim and ray-casts
+    # only those candidates.
     inside = joined.filter(F.col("_interior"))
     pip = pip_residual_udf()
     boundary = joined.filter(~F.col("_interior")).filter(
