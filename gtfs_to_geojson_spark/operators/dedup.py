@@ -314,6 +314,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold.
 
@@ -321,7 +322,16 @@ def embedding_near_dup_pairs(
     L2-normalized vector (a crude but deterministic LSH); exact cosine
     (JVM-side ``aggregate``/``zip_with`` — no UDF) within bucket.
     Near-threshold pairs straddling buckets are caught by also probing
-    each vector's 1-bit-flip neighbor buckets."""
+    each vector's 1-bit-flip neighbor buckets.
+
+    Same hot-bucket discipline as the LSH generators (r2): the
+    candidate join carries IDS ONLY (vectors re-attach to deduped
+    pairs), and buckets whose member count exceeds target_bucket_rows
+    are salted — the probe side replicates across g salts, the member
+    side keeps one deterministic salt — so the pair set is identical
+    while the per-task build side stays ≤ target_bucket_rows. The join
+    is asymmetric (probe cells vs home cells), so this salting is local
+    rather than _salted_bucket_pairs."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
     nv = emb.select(
         F.col(id_col),
@@ -339,15 +349,40 @@ def embedding_near_dup_pairs(
     bucketed = nv.withColumn("_bucket", sign_bits)
     # probe buckets: own + 8 one-bit flips
     probes = F.array(*([F.col("_bucket")] + [F.col("_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)]))
-    left = bucketed.withColumn("_probe", F.explode(probes)).select(
-        F.col("_probe").alias("_bucket2"), F.col(id_col).alias("id_a"), F.col("_nv").alias("va")
+    left_ids = bucketed.withColumn("_probe", F.explode(probes)).select(
+        F.col("_probe").alias("_bucket2"), F.col(id_col).alias("id_a")
     )
-    right = bucketed.select(F.col("_bucket").alias("_bucket2"), F.col(id_col).alias("id_b"), F.col("_nv").alias("vb"))
-    cos = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
-    return (
-        left.join(right, "_bucket2")
+    right_ids = bucketed.select(
+        F.col("_bucket").alias("_bucket2"), F.col(id_col).alias("id_b")
+    )
+    hot = (
+        right_ids.groupBy("_bucket2")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") > target_bucket_rows)
+        .select(
+            "_bucket2",
+            F.ceil(F.col("_m") / F.lit(target_bucket_rows)).cast("int").alias("_g"),
+        )
+    )
+    l2 = left_ids.join(F.broadcast(hot), "_bucket2", "left").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_g"), F.lit(1)) - 1))
+    )
+    r2 = right_ids.join(F.broadcast(hot), "_bucket2", "left").withColumn(
+        "_salt",
+        F.coalesce(
+            F.pmod(F.xxhash64(F.col("id_b")), F.col("_g")).cast("int"), F.lit(0)
+        ),
+    )
+    cand = (
+        l2.join(r2, ["_bucket2", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    cos = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    return (
+        cand.join(nv.select(F.col(id_col).alias("id_a"), F.col("_nv").alias("va")), "id_a")
+        .join(nv.select(F.col(id_col).alias("id_b"), F.col("_nv").alias("vb")), "id_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

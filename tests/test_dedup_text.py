@@ -252,3 +252,21 @@ def test_lsh_max_bucket_size_drops_and_logs(spark, caplog):
     assert (100, 101) in got                       # small bucket intact
     assert not any(a < 50 and b < 50 for a, b in got)  # hot clique dropped
     assert any("max_bucket_size" in r.message for r in caplog.records)
+
+
+def test_embed_near_dup_salted_identical(spark):
+    """Embedding near-dup: forcing tiny salt buckets (hot-bucket path)
+    must leave the pair set and cosines identical to the plain path."""
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((40, 16))
+    vecs = np.vstack([base, base + rng.standard_normal((40, 16)) * 0.01])
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(map(list, vecs))})
+    )
+    plain = dedup.embedding_near_dup_pairs(emb, threshold=0.98).toPandas()
+    salted = dedup.embedding_near_dup_pairs(
+        emb, threshold=0.98, target_bucket_rows=4
+    ).toPandas()
+    assert len(plain) > 0
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.cosine))
+    assert key(plain) == key(salted)
