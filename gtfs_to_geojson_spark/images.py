@@ -372,3 +372,108 @@ def geotag_from_phash(
         bbox[1] + u2 * (bbox[3] - bbox[1]),
     )
     return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# GVID — minimal seekable video container (r2: makes the video
+# frame-sampling operator real without ffmpeg/PyAV). Layout:
+#   b"GVID" | u16 n_frames | u16 w | u16 h | u8 fmt_idx |
+#   u32 frame_len × n_frames | frame bytes...
+# Each frame is encoded with one of THIS module's image codecs, and the
+# length table makes frame-accurate seeks O(1) — sampling every Nth
+# frame decodes ONLY the sampled frames, which is the design point.
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"GVID"
+_VID_FMTS = FORMATS + ("dctq",)
+
+
+def encode_video(frames: list, fmt: str = "png") -> bytes:
+    """Frames (each HxWx3 uint8, identical shape) → GVID bytes."""
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w, _ = np.asarray(frames[0]).shape
+    payloads = [encode(np.asarray(f), fmt) for f in frames]
+    import struct
+
+    head = VIDEO_MAGIC + struct.pack(
+        "<HHHB", len(payloads), w, h, _VID_FMTS.index(fmt)
+    )
+    table = b"".join(struct.pack("<I", len(p)) for p in payloads)
+    return head + table + b"".join(payloads)
+
+
+def video_info(data: bytes) -> tuple[int, int, int, str, list[tuple[int, int]]]:
+    """(n_frames, w, h, fmt, [(offset, length)]) without decoding any
+    pixels — the seek table."""
+    import struct
+
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not a GVID container")
+    n, w, h, fi = struct.unpack("<HHHB", data[4:11])
+    lens = struct.unpack(f"<{n}I", data[11 : 11 + 4 * n])
+    off = 11 + 4 * n
+    offsets = []
+    for ln in lens:
+        offsets.append((off, ln))
+        off += ln
+    return n, w, h, _VID_FMTS[fi], offsets
+
+
+def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
+    """Decode ONE frame by index (O(1) seek via the length table)."""
+    _n, _w, _h, fmt, offs = video_info(data)
+    o, ln = offs[idx]
+    return decode(data[o : o + ln], fmt)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM16) — minimal stdlib-free codec for the audio-feature
+# operator. Mono or interleaved stereo, 16-bit little-endian.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float samples in [-1, 1] (1-D mono or (n, ch)) → PCM16 WAV."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes → (float samples in [-1, 1] shaped (n, ch),
+    sample_rate). Walks RIFF chunks, so extra chunks are tolerated."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sr, ch, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            _fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)
+    if sr is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"only PCM16 supported, got {bits}-bit")
+    arr = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32767.0
+    return arr.reshape(-1, ch), sr

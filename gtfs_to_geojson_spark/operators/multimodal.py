@@ -1,13 +1,13 @@
 """Multimodal (image/audio/video) column operators.
 
-Images are opaque ``binary`` columns with typed metadata
-(input_hint schema). Decode / feature-extract / resize run as
-Arrow-batched ``mapInPandas`` kernels — the Spark-side plumbing
-(schemas, batch shape, partition behavior) is real and tested; decode
-itself is real for the sandbox's lossless whitelist (ppm/bmp/png via
-images.py) and raises ``NotImplementedError`` for formats whose codecs
-(jpeg/webp/mp3/mp4) aren't available without PIL/ffmpeg — the
-clearly-marked stub seam per the build contract.
+Images, audio, and video are opaque ``binary`` columns with typed
+metadata (input_hint schema). Decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` kernels, all REAL in
+this sandbox: images via the from-scratch ppm/bmp/png/dctq codecs,
+video via the seekable GVID container, audio via the RIFF/PCM16 WAV
+walker (all in images.py). Foreign formats whose codecs genuinely need
+external libs (jpeg/webp/mp3/mp4) raise ``NotImplementedError`` at the
+decode seam — the documented boundary per the build contract.
 """
 
 from __future__ import annotations
@@ -144,34 +144,80 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling. The Spark plumbing (schema,
-    mapInPandas signature, batch iteration) is the real design; the
-    decoder is unavailable in this sandbox (no ffmpeg/PyAV)."""
+    """Video frame sampling over the GVID container (images.py) — real
+    since r2 (no ffmpeg needed: frames are stored in this engine's own
+    codecs). One input row (video_id, bytes) → one output row per
+    sampled frame (video_id, frame_idx, bytes, w, h), each frame
+    re-encoded standalone so every downstream image operator applies.
+
+    Scale shape: the container's length table gives O(1) frame seeks,
+    so sampling every Nth frame DECODES only the sampled frames —
+    bytes of skipped frames are never touched. Arrow-batched
+    mapInPandas; output fan-out is frames/every_n per row."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "video decode requires ffmpeg/PyAV (absent in sandbox); "
-                "frames would yield rows (video_id, frame_idx, bytes, w, h)"
+        for pdf in batches:
+            vids, idxs, bts, ws, hs = [], [], [], [], []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                data = bytes(data)
+                n, w, h, fmt, offs = img.video_info(data)
+                for fi in range(0, n, every_n):
+                    o, ln = offs[fi]
+                    vids.append(vid)
+                    idxs.append(fi)
+                    bts.append(data[o : o + ln])
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "video_id": vids,
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "bytes": bts,
+                    "w": np.asarray(ws, dtype=np.int32),
+                    "h": np.asarray(hs, dtype=np.int32),
+                }
             )
 
-    return videos.mapInPandas(
+    return videos.select("video_id", "bytes").mapInPandas(
         kernel, "video_id string, frame_idx int, bytes binary, w int, h int"
     )
 
 
 def extract_audio_features(audio: DataFrame) -> DataFrame:
-    """STUB — audio feature extraction (same seam as video)."""
+    """Audio feature extraction over RIFF/PCM16 WAV bytes — real since
+    r2 (images.decode_wav is a from-scratch RIFF walker; no codec lib).
+    Per row: duration, RMS level, zero-crossing count, and spectral
+    centroid (numpy rfft on the mono mix) — the standard cheap
+    features a training-data pipeline filters on. Arrow-batched."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "audio decode requires an audio codec (absent in sandbox); "
-                "would yield (audio_id, duration_s, rms, zero_crossings)"
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, sr = img.decode_wav(bytes(data))
+                mono = s.mean(axis=1)
+                dur = len(mono) / sr
+                rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+                zc = int(np.count_nonzero(np.diff(np.signbit(mono))))
+                if len(mono) > 1 and rms > 1e-12:
+                    spec = np.abs(np.fft.rfft(mono))
+                    freqs = np.fft.rfftfreq(len(mono), d=1.0 / sr)
+                    centroid = float((spec * freqs).sum() / spec.sum())
+                else:
+                    centroid = 0.0
+                rows.append((aid, dur, rms, zc, centroid))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "duration_s", "rms", "zero_crossings",
+                    "spectral_centroid_hz",
+                ],
             )
 
-    return audio.mapInPandas(
-        kernel, "audio_id string, duration_s double, rms double, zero_crossings long"
+    return audio.select("audio_id", "bytes").mapInPandas(
+        kernel,
+        "audio_id string, duration_s double, rms double, zero_crossings long, "
+        "spectral_centroid_hz double",
     )
 
 
