@@ -433,13 +433,21 @@ def _knn_grid(
     )
     tx = F.shiftright(F.col("_tc"), 29).bitwiseAND(F.lit(mask))
     ty = F.col("_tc").bitwiseAND(F.lit(mask))
-    cells9 = F.flatten(
-        F.transform(
-            F.sequence(F.greatest(tx - 1, F.lit(0)), F.least(tx + 1, F.lit(n - 1))),
-            lambda x: F.transform(
-                F.sequence(F.greatest(ty - 1, F.lit(0)), F.least(ty + 1, F.lit(n - 1))),
-                lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,
-            ),
+    # x WRAPS modulo n (ADVICE r2: clamping left points in the first/
+    # last column blind to metrically-adjacent targets across the
+    # antimeridian, falsely "resolving" them); y clamps (no wrap over
+    # poles). array_distinct guards the degenerate n<3 wrap collision.
+    cells9 = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(tx - 1, tx + 1),
+                lambda x: F.transform(
+                    F.sequence(F.greatest(ty - 1, F.lit(0)), F.least(ty + 1, F.lit(n - 1))),
+                    lambda y: res_term
+                    + F.pmod(x, F.lit(n)).cast("long") * F.lit(1 << 29).cast("long")
+                    + y,
+                ),
+            )
         )
     )
     t_rep = t0.withColumn("_cell", F.explode(cells9)).drop("_tc")
@@ -481,6 +489,7 @@ def _knn_grid(
 
     kk = k
     guar_scale = float(cell_h_m) * 0.999
+    cell_h_deg = 180.0 / n
 
     def kernel(key, pts_pdf: pd.DataFrame, tgt_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pts_pdf) == 0:
@@ -529,8 +538,16 @@ def _knn_grid(
             rep_lon = np.repeat(plon[s:e], kk)
             dist = geom.haversine_m(rep_lat, rep_lon, tlat[jf], tlon[jf])
             kth = dist.reshape(-1, kk)[:, -1]
+            # Guarantee at the WORST reachable latitude (ADVICE r2):
+            # the searched 3×3 rows extend up to 2 cell-heights
+            # poleward of the point, where cos (and so the metric cell
+            # width separating us from unsearched columns) is smaller
+            # than at the point's own latitude. Clamped at the pole the
+            # bound degrades to 0 → the point escalates to the exact
+            # ring fallback instead of resolving wrongly.
+            reach = np.minimum(90.0, np.abs(plat[s:e]) + 2.0 * cell_h_deg)
             guar = guar_scale * np.minimum(
-                1.0, 2.0 * np.cos(np.radians(plat[s:e]))
+                1.0, np.maximum(0.0, 2.0 * np.cos(np.radians(reach)))
             )
             ok = kth <= guar
             okr = np.repeat(ok, kk)
@@ -731,17 +748,36 @@ def knn_join(
     for round_i in range(max_rounds):
         if n_unresolved == 0:
             break
+        # Per-point candidate-cell budget: a sparse target side (small
+        # k/d ratio) can derive a ring hundreds of cells wide, and the
+        # ×4 escalation then asks for multi-million-element cell arrays
+        # per point — at which point materializing the fan-out costs
+        # more than the exact brute-force tail below (and auto-selection
+        # only routes here for DENSE target sides, where rings stay
+        # single-digit; a huge ring means a forced strategy or a
+        # pathological density, both better served by the tail).
+        ring_x = min(ring, n // 2)   # wrap covers every column at n//2
+        ring_y = min(ring, n - 1)    # y clamps at the poles
+        if (2 * ring_x + 1) * (2 * ring_y + 1) > 16384:
+            break
         # candidate cells: square k-ring of radius `ring` (JVM sequence cross)
         px = F.shiftright(F.col("_pcell"), 29).bitwiseAND(F.lit((1 << 29) - 1))
         py = F.col("_pcell").bitwiseAND(F.lit((1 << 29) - 1))
         res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
-        cand_cells = F.flatten(
-            F.transform(
-                F.sequence(F.greatest(px - ring, F.lit(0)), F.least(px + ring, F.lit(n - 1))),
-                lambda x: F.transform(
-                    F.sequence(F.greatest(py - ring, F.lit(0)), F.least(py + ring, F.lit(n - 1))),
-                    lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,
-                ),
+        # x wraps modulo n (antimeridian adjacency — ADVICE r2), y
+        # clamps; array_distinct collapses the wrap overlap when
+        # 2·ring+1 > n so the candidate set never exceeds the grid.
+        cand_cells = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.sequence(px - ring_x, px + ring_x),
+                    lambda x: F.transform(
+                        F.sequence(F.greatest(py - ring_y, F.lit(0)), F.least(py + ring_y, F.lit(n - 1))),
+                        lambda y: res_term
+                        + F.pmod(x, F.lit(n)).cast("long") * F.lit(1 << 29).cast("long")
+                        + y,
+                    ),
+                )
             )
         )
         probe = unresolved.withColumn("_tcell", F.explode(cand_cells))
@@ -761,17 +797,39 @@ def knn_join(
             .filter(F.col("_rn") <= k)
             .drop("_tcell")
         )
-        # guarantee: the k-th neighbor must be within ring·min(cell_w, cell_h)
-        # at this latitude — any unsearched cell is ≥ that far away.
-        # cell_w = 2·cell_h·cos(lat) ⇒ min extent = cell_h·min(1, 2cos(lat)).
-        guarantee_m = (
-            F.lit(float(ring * cell_h_m))
-            * F.least(F.lit(1.0), F.lit(2.0) * F.cos(F.radians(F.col(lat_col))))
-            * F.lit(0.999)
-        )
-        guarantee = (
-            F.max(F.col("_dist_m")).over(Window.partitionBy(point_key)) <= guarantee_m
-        ) & (F.count(F.lit(1)).over(Window.partitionBy(point_key)) >= k)
+        # guarantee: the k-th neighbor must be closer than any unsearched
+        # cell can be. Vertical: unsearched rows are ≥ ring_y·cell_h away
+        # (meridian distance, latitude-free). Horizontal: unsearched
+        # columns are ≥ ring_x·cell_w away, with cell_w = 2·cell_h·cos
+        # evaluated at the WORST latitude reachable by searched rows —
+        # (ring_y+1) cell-heights poleward of the point (ADVICE r2: the
+        # point's own cos overstates the bound near poles; clamped at
+        # the pole it degrades to 0 and the point keeps escalating,
+        # ending in the exact brute-force tail). When the wrap already
+        # covers every column there are no unsearched columns, and when
+        # the whole grid is searched the top-k is exact by construction.
+        x_cover_all = (2 * ring_x + 1) >= n
+        y_cover_all = ring_y >= n - 1
+        vert_m = F.lit(float(ring_y * cell_h_m))
+        if x_cover_all:
+            guarantee_m = vert_m * F.lit(0.999)
+        else:
+            reach_deg = F.least(
+                F.lit(90.0),
+                F.abs(F.col(lat_col)) + F.lit(float((ring_y + 1) * 180.0 / n)),
+            )
+            horiz_m = F.lit(float(ring_x * 2 * cell_h_m)) * F.greatest(
+                F.lit(0.0), F.cos(F.radians(reach_deg))
+            )
+            guarantee_m = F.least(vert_m, horiz_m) * F.lit(0.999)
+        has_k = F.count(F.lit(1)).over(Window.partitionBy(point_key)) >= k
+        if x_cover_all and y_cover_all:
+            guarantee = has_k
+        else:
+            guarantee = (
+                F.max(F.col("_dist_m")).over(Window.partitionBy(point_key))
+                <= guarantee_m
+            ) & has_k
         resolved = (
             topk.withColumn("_ok", guarantee)
             .filter(F.col("_ok"))

@@ -1198,14 +1198,39 @@ _ROWS_ONLY = {
 }
 
 
+# Driver-window rotation (round 3): the driver records at most 50 of
+# the 57 registered queries, in dict order.  Rounds 1-2 left the four
+# newest SQL-oracle queries (text_stopword_ratio, a13_cell_rollup,
+# a14_cube, s11_session_window) and the three rows-only checks outside
+# that window.  Rotate seven veterans — each green (rows+schema+hash)
+# in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json — to the tail
+# so every never-driver-verified query gets a row this round; round 4
+# can rotate back.  See NOTES_r3.md.
+_DRIVER_TAIL = [
+    "a4_distinct",
+    "a12_union_all",
+    "g11_hex_format",
+    "f2_semi_join",
+    "s7_filenames",
+    "j3_left_join",
+    "a5_first_per_key",
+]
+
+
+def _rotated(names):
+    head = [n for n in names if n not in _DRIVER_TAIL]
+    return head + [n for n in _DRIVER_TAIL if n in names]
+
+
 def all_queries():
     out = {name: fn for name, (fn, _sql) in _QUERIES.items()}
     out.update(_ROWS_ONLY)
-    return out
+    return {n: out[n] for n in _rotated(list(out))}
 
 
 def all_oracle_sql():
-    return {name: sql for name, (fn, sql) in _QUERIES.items() if sql is not None}
+    out = {name: sql for name, (fn, sql) in _QUERIES.items() if sql is not None}
+    return {n: out[n] for n in _rotated(list(out))}
 
 
 # ---------------------------------------------------------------------------

@@ -61,13 +61,18 @@ def read_geojson(
     # the missing array. The placeholder is a VARIANT null literal, not
     # a SQL-null variant — Arrow toPandas segfaults (Spark 4.1) when a
     # null variant value reaches the exploded column.
+    # try_variant_get (ADVICE r2): valid JSON whose features field is
+    # not an array (e.g. {"features": 123}) must surface as an
+    # auditable parse_ok=false row like unparseable input, not throw at
+    # execution the way strict variant_get does.
+    extracted = F.try_variant_get(v, "$.features", "array<variant>")
     feat_arr = F.coalesce(
-        F.variant_get(v, "$.features", "array<variant>"),
+        extracted,
         F.array(F.parse_json(F.lit("null"))),
     )
     feats = raw.select(
         "src_file",
-        v.isNotNull().alias("parse_ok"),
+        extracted.isNotNull().alias("parse_ok"),
         F.explode(feat_arr).alias("f"),
     )
     gtype = F.try_variant_get("f", "$.geometry.type", "string")

@@ -123,3 +123,15 @@ def test_unparseable_line_degrades_not_throws(spark, tmp_path):
     assert len(ok) == 1 and ok[0]["geometry_type"] == "Point"
     assert ok[0]["point_coords"] == [1.0, 2.0]
     assert len(bad) == 1 and bad[0]["geometry_type"] is None
+
+
+def test_nonarray_features_degrades_not_throws(spark, tmp_path):
+    """ADVICE r2: valid JSON whose features field is NOT an array
+    ({"features": 123}) must yield a parse_ok=false placeholder row,
+    not throw at execution (strict variant_get did)."""
+    p = tmp_path / "badfeat.geojson"
+    p.write_text('{"type": "FeatureCollection", "features": 123}\n')
+    rows = gj.read_geojson(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0]["parse_ok"] is False
+    assert rows[0]["geometry_type"] is None

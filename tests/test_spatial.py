@@ -120,6 +120,64 @@ def test_knn_matches_bruteforce(spark, points_df):
         assert got == want, strategy
 
 
+def test_knn_antimeridian_and_high_latitude(spark):
+    """ADVICE r2 hazards: (a) neighbor-cell x ranges must WRAP at the
+    antimeridian — a point at lon 179.9° whose true nearest target is
+    at −179.9° must find it; (b) the resolution guarantee must hold at
+    coarse res / high latitude where cos drifts over the searched rows.
+    All strategies vs brute force, at the hazard-maximizing res."""
+    rng = np.random.default_rng(11)
+    n_p, n_t = 120, 60
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(n_p),
+            # half straddle the antimeridian, half sit at high latitude
+            "lon": np.where(
+                np.arange(n_p) % 2 == 0,
+                np.where(rng.random(n_p) < 0.5, 1, -1) * rng.uniform(179.2, 180.0, n_p),
+                rng.uniform(-30.0, 30.0, n_p),
+            ),
+            "lat": np.where(
+                np.arange(n_p) % 2 == 0,
+                rng.uniform(-60.0, 60.0, n_p),
+                np.where(rng.random(n_p) < 0.5, 1, -1) * rng.uniform(75.0, 89.5, n_p),
+            ),
+        }
+    )
+    tgt_pd = pd.DataFrame(
+        {
+            "target_id": np.arange(n_t),
+            "t_lon": np.where(
+                np.arange(n_t) % 2 == 0,
+                np.where(rng.random(n_t) < 0.5, 1, -1) * rng.uniform(179.0, 180.0, n_t),
+                rng.uniform(-35.0, 35.0, n_t),
+            ),
+            "t_lat": np.where(
+                np.arange(n_t) % 2 == 0,
+                rng.uniform(-65.0, 65.0, n_t),
+                np.where(rng.random(n_t) < 0.5, 1, -1) * rng.uniform(70.0, 89.9, n_t),
+            ),
+        }
+    )
+    pdf_s = spark.createDataFrame(pdf)
+    tgt = spark.createDataFrame(tgt_pd)
+    want = set()
+    for _, p in pdf.iterrows():
+        d = g.haversine_m(p.lat, p.lon, tgt_pd.t_lat.to_numpy(), tgt_pd.t_lon.to_numpy())
+        order = np.lexsort((tgt_pd.target_id.to_numpy(), d))
+        for j in order[:2]:
+            want.add((int(p.point_id), int(tgt_pd.target_id[j])))
+    for res in (4, 10, None):
+        for strategy in ("broadcast", "grid", "ring"):
+            got = {
+                (r["point_id"], r["target_id"])
+                for r in spatial.knn_join(
+                    pdf_s, tgt, res=res, k=2, strategy=strategy
+                ).collect()
+            }
+            assert got == want, (strategy, res)
+
+
 def test_knn_k3_and_sparse_targets(spark, points_df):
     (pdf_s, pdf) = points_df
     # only 2 targets → every point must still resolve (brute-force tail
