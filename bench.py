@@ -155,12 +155,21 @@ def main():
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def run(name, fn, best_of: int = 1):
+        # VERDICT r2 item 4: sub-2s queries showed 10-20% r1→r2 drift
+        # from host load despite best-of-3 — they are cheap enough to
+        # buy two extra reps, so extend adaptively once the measured
+        # best confirms the query is in the noise-dominated regime.
         best = None
-        for _ in range(max(1, best_of)):
+        done = 0
+        budget = max(1, best_of)
+        while done < budget:
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            done += 1
+            if done == budget and best < 2.0 and budget == max(1, best_of):
+                budget += 2
         timings[name] = round(best, 3)
         return out, best
 

@@ -46,49 +46,63 @@ def run(spark: SparkSession, feed: dict[str, DataFrame], cfg: RunSpec) -> dict:
     sinks.prep_directory(out_dir, cfg.overwrite)
 
     files: list[dict] = []
-    if cfg.output_type == "agency":
-        feats = fmt(feed, cfg, q)
-        name = (_agency_key(feed) or "agency") + ".geojson"
-        files.append(sinks.write_single_geojson(feats, os.path.join(out_dir, name)))
-    elif cfg.output_type == "shape":
-        # DISTINCT shape_ids (A4; reference ts:132), one file per shape.
-        # Only the KEY LIST is collected (feed cardinality); features
-        # stream task→file per group, _run_groups fans the jobs out.
-        shape_ids = [r[0] for r in relational.route_shape_pairs(feed["trips"], q).select("shape_id").distinct().collect()]
-        tasks = [
-            (f"{_safe(sid)}.geojson", q.with_eq(shape_id=sid))
-            for sid in sorted(shape_ids)
-        ]
-        files.extend(_run_groups(feed, cfg, fmt, out_dir, tasks))
-    elif cfg.output_type == "route":
-        # per route: headsign-deduped trips give the direction set
-        # (reference ts:181-196: uniqBy headsign, then per direction)
-        routes = apply_query(feed["routes"], q)
-        trips_proj = apply_query(feed["trips"], q).select(
-            "trip_id", "route_id", "direction_id", "trip_headsign"
-        )
-        dirs = (
-            relational.headsign_dedup(trips_proj)
-            .select("route_id", "direction_id")
-            .distinct()
-            .join(routes.select("route_id", "agency_id", "route_short_name"), "route_id")
-            .collect()
-        )
-        seen: dict[str, int] = {}
-        tasks = []
-        for row in sorted(dirs, key=lambda r: (str(r["route_id"]), str(r["direction_id"]))):
-            qq = q.with_eq(route_id=row["route_id"], direction_id=row["direction_id"])
-            # S7 filename: agency_id?_route_short_name?_route_id_direction
-            parts = [row["agency_id"], row["route_short_name"], row["route_id"]]
-            if row["direction_id"] is not None:
-                parts.append(str(row["direction_id"]))
-            base = _safe("_".join(str(p) for p in parts if p is not None))
-            idx = seen.get(base)
-            seen[base] = (idx or 0) + 1
-            tasks.append((base + (f"_{idx}" if idx else "") + ".geojson", qq))
-        files.extend(_run_groups(feed, cfg, fmt, out_dir, tasks))
-    else:
-        raise ValueError(f"unknown output_type: {cfg.output_type}")
+    cached: dict[str, DataFrame] | None = None
+    try:
+        if cfg.output_type == "agency":
+            feats = fmt(feed, cfg, q)
+            name = (_agency_key(feed) or "agency") + ".geojson"
+            files.append(sinks.write_single_geojson(feats, os.path.join(out_dir, name)))
+        elif cfg.output_type == "shape":
+            # VERDICT r2 item 3: the key-list collect and the pLimit(20)
+            # concurrent per-group jobs below re-filter the SAME feed
+            # tables up to 20× — cache them once before the fan-out so
+            # each table is scanned from source exactly once
+            # (InMemoryRelation afterwards), unpersist when done.
+            feed = cached = _persist_feed(feed)
+            # DISTINCT shape_ids (A4; reference ts:132), one file per shape.
+            # Only the KEY LIST is collected (feed cardinality); features
+            # stream task→file per group, _run_groups fans the jobs out.
+            shape_ids = [r[0] for r in relational.route_shape_pairs(feed["trips"], q).select("shape_id").distinct().collect()]
+            tasks = [
+                (f"{_safe(sid)}.geojson", q.with_eq(shape_id=sid))
+                for sid in sorted(shape_ids)
+            ]
+            files.extend(_run_groups(feed, cfg, fmt, out_dir, tasks))
+        elif cfg.output_type == "route":
+            feed = cached = _persist_feed(feed)  # see shape branch comment
+            # per route: headsign-deduped trips give the direction set
+            # (reference ts:181-196: uniqBy headsign, then per direction)
+            routes = apply_query(feed["routes"], q)
+            trips_proj = apply_query(feed["trips"], q).select(
+                "trip_id", "route_id", "direction_id", "trip_headsign"
+            )
+            dirs = (
+                relational.headsign_dedup(trips_proj)
+                .select("route_id", "direction_id")
+                .distinct()
+                .join(routes.select("route_id", "agency_id", "route_short_name"), "route_id")
+                .collect()
+            )
+            seen: dict[str, int] = {}
+            tasks = []
+            for row in sorted(dirs, key=lambda r: (str(r["route_id"]), str(r["direction_id"]))):
+                qq = q.with_eq(route_id=row["route_id"], direction_id=row["direction_id"])
+                # S7 filename: agency_id?_route_short_name?_route_id_direction
+                parts = [row["agency_id"], row["route_short_name"], row["route_id"]]
+                if row["direction_id"] is not None:
+                    parts.append(str(row["direction_id"]))
+                base = _safe("_".join(str(p) for p in parts if p is not None))
+                idx = seen.get(base)
+                seen[base] = (idx or 0) + 1
+                tasks.append((base + (f"_{idx}" if idx else "") + ".geojson", qq))
+            files.extend(_run_groups(feed, cfg, fmt, out_dir, tasks))
+        else:
+            raise ValueError(f"unknown output_type: {cfg.output_type}")
+    finally:
+        if cached is not None:
+            for df in cached.values():
+                if df is not None:
+                    df.unpersist(blocking=False)
 
     if cfg.zip_output:
         sinks.zip_outputs(out_dir, os.path.join(out_dir, "geojson.zip"))
@@ -106,6 +120,29 @@ def run(spark: SparkSession, feed: dict[str, DataFrame], cfg: RunSpec) -> dict:
     with open(os.path.join(out_dir, "log.json"), "w") as f:
         json.dump(stats, f, indent=1)
     return stats
+
+
+def _persist_feed(feed: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """MEMORY_AND_DISK-cache every feed table and materialize each with
+    a cheap count() so the source scan happens exactly once, serially,
+    before the 20-thread fan-out starts (concurrent first-touch of an
+    uncomputed cache would race to build the same partitions).  Feed
+    tables are small relative to the derived joins — at cluster scale
+    this trades one bounded cache for up to 20× redundant source scans.
+    Plain persist(), not localCheckpoint: the NOTES_r2 AQE-cache hazard
+    was specific to broadcast builds over multi-GB per-round working
+    sets; feed dims are exactly the small-table case caching is for."""
+    from pyspark import StorageLevel
+
+    cached = {}
+    for k, df in feed.items():
+        if df is None:
+            cached[k] = None
+            continue
+        cdf = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cdf.count()
+        cached[k] = cdf
+    return cached
 
 
 def _run_groups(feed, cfg, fmt, out_dir: str, tasks: list[tuple]) -> list[dict]:

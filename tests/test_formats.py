@@ -209,6 +209,42 @@ def test_date_window_filters_services(spark, feed):
     assert 0 < n_win <= n_all
 
 
+def test_run_groups_feed_cached_single_scan(spark, feed, tmp_path, monkeypatch):
+    """VERDICT r2 item 3: the route/shape fan-out must see CACHED feed
+    tables (materialized InMemoryRelation — one source scan total, not
+    one per concurrent group job), and the caches must be released when
+    the run finishes."""
+    from gtfs_to_geojson_spark.plans import pipeline
+
+    checks = []
+    orig = pipeline._run_groups
+
+    def spy(feed_c, cfg, fmt, out_dir, tasks):
+        for name, df in feed_c.items():
+            if df is None:
+                continue
+            checks.append((name + ":level", df.storageLevel.useMemory))
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            checks.append((name + ":inmem", "InMemoryRelation" in plan))
+        return orig(feed_c, cfg, fmt, out_dir, tasks)
+
+    monkeypatch.setattr(pipeline, "_run_groups", spy)
+    s = pipeline.run(
+        spark, feed,
+        RunSpec(output_format="lines", output_type="route",
+                coordinate_precision=5, out_dir=str(tmp_path / "cached")),
+    )
+    assert s["files"] > 1
+    assert checks and all(ok for _name, ok in checks), [
+        n for n, ok in checks if not ok
+    ]
+    # unpersisted afterwards: persist() registers the shared logical
+    # plan, so the fixture's own frames would stay hot if the finally
+    # block didn't release them
+    assert not feed["trips"].storageLevel.useMemory
+    assert not feed["stops"].storageLevel.useMemory
+
+
 def test_route_output_type_concurrent_deterministic(spark, feed, tmp_path):
     """Route output fans per-(route, direction) jobs out on the thread
     pool; two runs must produce identical filename sets and identical
