@@ -12,7 +12,11 @@ stdlib+numpy (SURVEY.md §7 hard part 5):
   decoder implements all five PNG filter types (None/Sub/Up/Avg/Paeth)
 
 All three are lossless, so the per-row invariant "decoded-pixel
-allclose (PSNR≥40dB for lossy)" holds exactly (PSNR = inf).
+allclose (PSNR≥40dB for lossy)" holds exactly (PSNR = inf). Two real
+lossy codecs exercise the 40 dB gate: ``dctq`` (numpy JPEG-analog, the
+bench-speed path) and ``jfif`` — a from-scratch baseline-sequential
+JPEG (ITU-T T.81) encoder/decoder, so real-world ``jpeg``/``jpg``
+bytes decode without PIL.
 
 ``phash64`` is a deterministic 8×8 average-hash of the grayscale
 image — it both verifies decode integrity and derives the image's
@@ -258,15 +262,544 @@ def decode_dctq(data: bytes) -> np.ndarray:
     return out
 
 
-LOSSY_FORMATS = ("dctq",)
+# ---------------------------------------------------------------------------
+# jfif — baseline sequential JPEG (ITU-T T.81), from scratch
+# ---------------------------------------------------------------------------
+# Converts the most common real-world image format from a documented
+# NotImplementedError seam into a working path (VERDICT r2 item 6). The
+# encoder writes a conformant baseline JFIF stream (SOI/APP0/DQT/SOF0/
+# DHT/SOS/EOI, Annex-K "typical" quantization + Huffman tables, 4:4:4 /
+# 4:2:2 / 4:2:0 chroma subsampling, optional restart intervals); the
+# decoder is generic baseline: it reads the tables FROM the stream
+# (arbitrary DQT/DHT, any Hi×Vi sampling with integer ratios, DRI/RSTn,
+# grayscale or YCbCr), so it also decodes third-party baseline JPEGs,
+# not just its own output. Progressive (SOF2) and arithmetic coding
+# raise NotImplementedError.
+#
+# Scale note: the entropy stage is per-bit Python, so this codec is an
+# ingest-boundary / test path, NOT the bench hot path — the synthetic
+# image tables keep using the numpy codecs above. The DCT/IDCT and
+# color math are vectorized numpy shared with dctq.
+
+# Annex K Table K.1 / K.2 quantization tables (natural 8×8 order).
+_JQ_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+_JQ_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# Annex K "typical" Huffman tables: (BITS[1..16], HUFFVAL). Encoder and
+# decoder both read whatever DHT carries, so these only pin our output.
+_JH_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JH_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JH_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_JH_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+
+def _zigzag() -> np.ndarray:
+    """ZZ[k] = flat natural index of the k-th coefficient in zigzag order."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(diag)
+    return np.array([i * 8 + j for i, j in order], dtype=np.int64)
+
+
+_JZZ = _zigzag()
+
+
+def _jpeg_qtab(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality (1..100) scaling of a base table."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50.0) / 100.0), 1.0, 255.0)
+
+
+def _huff_encode_table(bits, vals):
+    """Canonical Huffman: symbol -> (code, length)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits, vals):
+    """T.81 F.2.2.3 decoder state: (mincode, maxcode, valptr, vals)."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            k += n
+            maxcode[length] = code - 1
+        code <<= 1
+    return (mincode, maxcode, valptr, list(vals))
+
+
+class _JBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def byte_align(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+class _JMarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+class _JBitReader:
+    """MSB-first bit reader over entropy-coded data; unstuffs 0xFF00 and
+    surfaces real markers as _JMarkerHit."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise _JMarkerHit(nxt)
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self, expect_n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xFF:
+            self.pos += 1  # fill bytes
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + expect_n:
+            raise ValueError("jfif: missing restart marker")
+        self.pos += 2
+
+
+def _jhuff_decode_sym(br: _JBitReader, tab) -> int:
+    mincode, maxcode, valptr, vals = tab
+    code = br.read_bit()
+    length = 1
+    while code > maxcode[length]:
+        length += 1
+        if length > 16:
+            raise ValueError("jfif: corrupt Huffman stream")
+        code = (code << 1) | br.read_bit()
+    return vals[valptr[length] + code - mincode[length]]
+
+
+def _jextend(v: int, s: int) -> int:
+    """Sign-extend an s-bit magnitude (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+_JSAMPLING = {"444": ((1, 1), (1, 1), (1, 1)),
+              "422": ((2, 1), (1, 1), (1, 1)),
+              "420": ((2, 2), (1, 1), (1, 1))}
+
+
+def _rgb_to_ycbcr(px: np.ndarray):
+    p = px.astype(np.float64)
+    r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _jencode_block(bw, block, qtab, dc_tab, ac_tab, pred):
+    """Forward DCT + quantize + zigzag + Huffman one 8×8 block; returns
+    the new DC predictor."""
+    coefs = _DCT8 @ (block - 128.0) @ _DCT8.T
+    q = np.round(coefs / qtab).astype(np.int64)
+    zz = q.ravel()[_JZZ]
+    dc = int(zz[0])
+    diff = dc - pred
+    mag = abs(diff)
+    s = mag.bit_length()
+    code, ln = dc_tab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tab[run * 16 + s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jfif(
+    pixels: np.ndarray,
+    quality: int = 92,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JFIF encoder (Annex-K tables; see section
+    comment). ``subsample`` ∈ {"444","422","420"}; ``restart_interval``
+    in MCUs (0 = none)."""
+    h, w, _ = pixels.shape
+    samp = _JSAMPLING[subsample]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    qy = _jpeg_qtab(_JQ_LUMA, quality)
+    qc = _jpeg_qtab(_JQ_CHROMA, quality)
+
+    planes = []
+    for ci, plane in enumerate(_rgb_to_ycbcr(pixels)):
+        hi, vi = samp[ci]
+        fy, fx = vmax // vi, hmax // hi
+        p = np.pad(plane, ((0, mcus_y * mcu_h - h), (0, mcus_x * mcu_w - w)),
+                   mode="edge")
+        if fy > 1 or fx > 1:  # box-average chroma downsample
+            H, W = p.shape
+            p = p.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
+        planes.append(p)
+
+    enc_dc = [_huff_encode_table(*_JH_DC_LUMA), _huff_encode_table(*_JH_DC_CHROMA)]
+    enc_ac = [_huff_encode_table(*_JH_AC_LUMA), _huff_encode_table(*_JH_AC_CHROMA)]
+    qtabs = [qy, qc, qc]
+    tsel = [0, 1, 1]
+
+    bw = _JBitWriter()
+    preds = [0, 0, 0]
+    mcu_i = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.byte_align()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                preds = [0, 0, 0]
+            for ci in range(3):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        block = planes[ci][y0:y0 + 8, x0:x0 + 8]
+                        preds[ci] = _jencode_block(
+                            bw, block, qtabs[ci],
+                            enc_dc[tsel[ci]], enc_ac[tsel[ci]], preds[ci],
+                        )
+            mcu_i += 1
+    bw.byte_align()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid: int, tab: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(
+            int(tab.ravel()[_JZZ[k]]) for k in range(64)))
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xC4, bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals))
+
+    out = bytearray()
+    out += bytes([0xFF, 0xD8])  # SOI
+    out += seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+               + bytes([0, 0]))
+    out += dqt(0, qy) + dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for ci in range(3):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, hi * 16 + vi, tsel[ci]])
+    out += seg(0xC0, sof)
+    out += dht(0, 0, *_JH_DC_LUMA) + dht(1, 0, *_JH_AC_LUMA)
+    out += dht(0, 1, *_JH_DC_CHROMA) + dht(1, 1, *_JH_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3])
+    for ci in range(3):
+        sos += bytes([ci + 1, tsel[ci] * 16 + tsel[ci]])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += bytes([0xFF, 0xD9])  # EOI
+    return bytes(out)
+
+
+def decode_jfif(data: bytes) -> np.ndarray:
+    """Generic baseline-sequential JPEG decoder (tables read from the
+    stream; any integer Hi×Vi sampling; DRI/RSTn; grayscale or YCbCr).
+    Raises NotImplementedError for progressive/arithmetic streams."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jfif: missing SOI")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple, tuple] = {}
+    frame = None
+    dri = 0
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError("jfif: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before scan
+            raise ValueError("jfif: no scan data")
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("jfif: progressive JPEG not supported")
+        if marker in (0xC9, 0xCB, 0xCD):
+            raise NotImplementedError("jfif: arithmetic coding not supported")
+        ln = struct.unpack(">H", data[pos:pos + 2])[0]
+        payload = data[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = payload[p:p + n]
+                vals = (np.frombuffer(raw, dtype=">u2") if pq
+                        else np.frombuffer(raw, dtype=np.uint8))
+                tab = np.zeros(64, dtype=np.float64)
+                tab[_JZZ] = vals.astype(np.float64)
+                qtabs[tq] = tab.reshape(8, 8)
+                p += n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline + ext. seq.)
+            ncomp = payload[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": struct.unpack(">H", payload[1:3])[0],
+                     "w": struct.unpack(">H", payload[3:5])[0],
+                     "comps": comps}
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jfif: SOS before SOF")
+            ns = payload[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError("jfif: non-interleaved scans")
+            scan = []
+            for c in range(ns):
+                cs, tda = payload[1 + 2 * c:3 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append((comp, tda >> 4, tda & 15))
+            pos += ln
+            break
+        pos += ln
+
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # quantized-coefficient store per scan component: (nby, nbx, 64)
+    stores = [np.zeros((mcus_y * comp["v"], mcus_x * comp["h"], 64),
+                       dtype=np.float64) for comp, _, _ in scan]
+
+    br = _JBitReader(data, pos)
+    preds = [0] * len(scan)
+    mcu_i = 0
+    rst_n = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and mcu_i and mcu_i % dri == 0:
+                    br.restart(rst_n)
+                    rst_n = (rst_n + 1) % 8
+                    preds = [0] * len(scan)
+                for si, (comp, td, ta) in enumerate(scan):
+                    dc_tab = htabs[(0, td)]
+                    ac_tab = htabs[(1, ta)]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            zz = stores[si][my * comp["v"] + by,
+                                            mx * comp["h"] + bx]
+                            s = _jhuff_decode_sym(br, dc_tab)
+                            diff = _jextend(br.read_bits(s), s) if s else 0
+                            preds[si] += diff
+                            zz[_JZZ[0]] = preds[si]
+                            k = 1
+                            while k <= 63:
+                                rs = _jhuff_decode_sym(br, ac_tab)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("jfif: AC index overflow")
+                                zz[_JZZ[k]] = _jextend(br.read_bits(s), s)
+                                k += 1
+                mcu_i += 1
+    except _JMarkerHit as m:
+        if m.marker != 0xD9:
+            raise ValueError(f"jfif: unexpected marker 0x{m.marker:02x} in scan")
+
+    # vectorized dequant + IDCT + upsample per component
+    out_planes = []
+    for si, (comp, _, _) in enumerate(scan):
+        q = qtabs[comp["tq"]].ravel()
+        nby, nbx, _ = stores[si].shape
+        blocks = (stores[si] * q).reshape(nby, nbx, 8, 8)
+        px = _DCT8.T @ blocks @ _DCT8 + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        fy, fx = vmax // comp["v"], hmax // comp["h"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return _ycbcr_to_rgb(*out_planes)
+
+
+LOSSY_FORMATS = ("dctq", "jfif", "jpeg", "jpg")
 
 
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
-_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png, "dctq": encode_dctq}
-_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png, "dctq": decode_dctq}
+_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png, "dctq": encode_dctq,
+             "jfif": encode_jfif, "jpeg": encode_jfif, "jpg": encode_jfif}
+_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png, "dctq": decode_dctq,
+             "jfif": decode_jfif, "jpeg": decode_jfif, "jpg": decode_jfif}
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
@@ -274,8 +807,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         enc = _ENCODERS[fmt]
     except KeyError:
         raise NotImplementedError(
-            f"fmt={fmt!r}: only {FORMATS} are encodable in this sandbox (no PIL); "
-            "jpeg/webp decode would plug in here behind the same dispatch"
+            f"fmt={fmt!r}: encodable formats are {tuple(_ENCODERS)} (no PIL in "
+            "this sandbox); webp/mp3/mp4 would plug in behind the same dispatch"
         ) from None
     return enc(pixels)
 
@@ -285,7 +818,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         dec = _DECODERS[fmt]
     except KeyError:
         raise NotImplementedError(
-            f"fmt={fmt!r}: only {FORMATS} are decodable in this sandbox (no PIL)"
+            f"fmt={fmt!r}: decodable formats are {tuple(_DECODERS)} (no PIL in "
+            "this sandbox)"
         ) from None
     return dec(data)
 
