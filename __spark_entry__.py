@@ -49,9 +49,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for the SQL-expressible subset — 54 of 57 after the
-    r2 recursive-CTE promotions (toposort, RDP simplify). The remaining
-    rows-only ops (iterative k-means IVF, distributed dissolve/overlay
-    ring traces) are intentionally omitted — the driver records the
-    weaker check."""
+    """DuckDB twins for the SQL-expressible subset — 58 of 60 after the
+    r2 recursive-CTE promotions (toposort, RDP simplify) and the r3
+    trained-IVF promotion (n_probe = n_centroids degenerates to exact
+    brute force). The remaining rows-only ops (distributed
+    dissolve/overlay ring traces) are intentionally omitted — the
+    driver records the weaker check."""
     return OQ.all_oracle_sql()

@@ -1152,18 +1152,45 @@ def q1_group_quantiles(spark, sf_dir):
     )
 
 
-# kmeans-trained IVF stays rows-only: the codebook is the fixpoint of
-# an iterative distributed Lloyd's loop — not SQL-expressible.
-def ivf_trained_rowsonly(spark, sf_dir):
+# kmeans-trained IVF, EXACT oracle (promoted from rows-only, r3 —
+# VERDICT r2 item 5): the trained codebook itself is the fixpoint of an
+# iterative distributed Lloyd's loop and is not SQL-expressible, but
+# with n_probe = n_centroids every query probes every bucket, so the
+# retrieval result degenerates to EXACT brute-force cosine top-k
+# regardless of where training placed the centroids — pinnable with the
+# same DuckDB list_cosine_similarity oracle as ann_brute_topk.  The
+# full pipeline still runs end-to-end (2 Lloyd's iterations: assign
+# matmul UDF + posexplode mean shuffle, then bucket assignment, probe
+# routing, per-bucket scoring), so the driver row now proves the
+# trained path computes the right answer, not just the right row
+# count.  The probe-BOUNDED approximate path (n_probe < n_centroids)
+# stays covered by ann_ivf_topk's exact oracle (seeded centroids
+# re-derived in SQL) and by the recall tests in test_similarity.py.
+@q(
+    "ann_ivf_trained",
+    """
+SELECT q_id, vec_id, rank FROM (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                    e.vec_id
+         ) AS rank
+  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+) WHERE rank <= 5
+""",
+)
+def ann_ivf_trained(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return similarity.ivf_topk(
-        emb, queries, k=5, n_centroids=8, n_probe=3, train_iters=2
+    out = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8, train_iters=2
     )
+    return out.select("q_id", "vec_id", "rank")
 
 
 def _g5_aoi(octs):
@@ -1241,7 +1268,6 @@ def polygon_clip_rowsonly(spark, sf_dir):
 
 
 _ROWS_ONLY = {
-    "ann_ivf_trained": ivf_trained_rowsonly,
     "g5b_polygon_clip": polygon_clip_rowsonly,
 }
 
