@@ -231,12 +231,36 @@ def point_in_polygon_join(
 # the chunking inside the kernel.
 KNN_BROADCAST_MAX_TARGETS = 100_000
 
-# targets at or below this count (but above the broadcast threshold)
-# take the grid-cogroup strategy; beyond it, the ring path — measured
-# crossover (BENCH/KNN_REGIMES.md, 600k points): grid wins 3.4× at
-# 200k targets, ties at 1M, loses 3× at 4M (dense targets resolve the
-# ring in one cheap round, while grid pays ×9 target replication).
+# ... but only when the POINT side is also modest: the broadcast
+# kernel's per-point cost has a bigger constant than grid's cogrouped
+# chord-matmul, so its small-target advantage inverts once the point
+# side grows — measured (BENCH/KNN_REGIMES.md): at 600k points /
+# 50k targets broadcast wins 1.4× over grid, at 6M points it LOSES 2×
+# (99.2 s vs 52.4 s). Above this point count auto falls through to
+# grid even for tiny target sides.
+KNN_BROADCAST_MAX_POINTS = 1_000_000
+
+# grid-vs-ring is a RATIO decision, not an absolute target count: ring
+# wins only when targets are dense relative to points (the ring search
+# then resolves in one cheap round while grid pays ×9 target
+# replication).  Measured (BENCH/KNN_REGIMES.md, both density rows):
+# at 600k points ring wins 3× at 4M targets (ratio 6.7) and ties at 1M
+# (ratio 1.7); at 6M points grid wins EVERY cell up to 4M targets
+# (ratio 0.67) — the r2 absolute 2M threshold was an artifact of the
+# single 600k-point calibration.  Auto picks grid when
+# n_targets <= max(KNN_GRID_MAX_TARGETS, ratio * n_points).
+KNN_GRID_TARGET_RATIO = 2.0
+
+# absolute floor of the grid regime — the r2 calibration at <=600k
+# points (grid wins 3.4× at 200k targets, ties at 1M, loses 3× at 4M);
+# kept so small point sides against mid-size target sides still take
+# the measured winner.
 KNN_GRID_MAX_TARGETS = 2_000_000
+
+# cap on the point-side limit-probe used by the ratio decision: counts
+# are compared, never fully materialized, so auto never runs an
+# unbounded count() over a 100-TB point table.
+KNN_POINT_PROBE_CAP = 50_000_000
 
 
 def _topk_by_dots(dots: np.ndarray, tid: np.ndarray, kk: int) -> np.ndarray:
@@ -575,6 +599,34 @@ def _knn_grid(
     return grouped.applyInPandas(kernel, schema).localCheckpoint()
 
 
+def _knn_auto_strategy(
+    points: DataFrame,
+    targets: DataFrame,
+    broadcast_threshold: int = KNN_BROADCAST_MAX_TARGETS,
+    grid_threshold: int = KNN_GRID_MAX_TARGETS,
+) -> str:
+    """Density-aware physical-strategy choice for knn_join's ``auto``
+    mode. Probes BOTH sides with bounded limit+counts — never a full
+    count over a 100-TB side. The rules and their measured crossovers
+    live in the KNN_* constant comments; the two-density sweep in
+    BENCH/KNN_REGIMES.md is the evidence."""
+    targets_small = (
+        targets.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+    )
+    if targets_small:
+        n_points_probe = points.limit(KNN_BROADCAST_MAX_POINTS + 1).count()
+        if n_points_probe <= KNN_BROADCAST_MAX_POINTS:
+            return "broadcast"
+        return "grid"  # tiny targets, huge points: grid beats both
+    n_points_probe = points.limit(KNN_POINT_PROBE_CAP + 1).count()
+    eff_threshold = max(
+        grid_threshold, int(KNN_GRID_TARGET_RATIO * n_points_probe)
+    )
+    if targets.limit(eff_threshold + 1).count() <= eff_threshold:
+        return "grid"
+    return "ring"
+
+
 def knn_join(
     points: DataFrame,
     targets: DataFrame,
@@ -594,17 +646,22 @@ def knn_join(
     """J8 — k nearest targets per point, exact.
 
     Physical strategy selection (like Catalyst's broadcast-vs-shuffle
-    join choice), three tiers probed with cheap limit+counts under
-    ``strategy='auto'``:
+    join choice), three tiers probed with cheap bounded limit+counts on
+    BOTH sides under ``strategy='auto'`` (density-aware since r3 — the
+    two-density sweep in BENCH/KNN_REGIMES.md is the evidence):
 
-    * ``broadcast`` (≤ 100k targets): target side shipped whole, one
-      shuffle-free map pass over the points (_knn_broadcast);
-    * ``grid`` (≤ 2M targets): points co-partitioned with ×9-replicated
-      targets by density-derived cell, local chord-matmul top-k per
-      cogroup, ring-1 guarantee, stragglers escalate to ring
-      (_knn_grid — the mid-regime answer, NOTES_r1 gap);
-    * ``ring``: the distributed ring-expansion search below, which
-      never materializes the target side anywhere.
+    * ``broadcast`` (≤ 100k targets AND ≤ 1M points): target side
+      shipped whole, one shuffle-free map pass over the points
+      (_knn_broadcast); at larger point sides its per-point constant
+      loses to grid even for tiny target sides;
+    * ``grid`` (targets ≤ max(2M, 2 × points)): points co-partitioned
+      with ×9-replicated targets by density-derived cell, local
+      chord-matmul top-k per cogroup, ring-1 guarantee, stragglers
+      escalate to ring (_knn_grid);
+    * ``ring`` (targets dense relative to points): the distributed
+      ring-expansion search below, which never materializes the target
+      side anywhere and resolves in ~one round when every point cell
+      is saturated with targets.
 
     Ring-expansion candidate search: round r joins each unresolved
     point's cell k-ring (radius 2^r − 1 cells, built with a JVM-side
@@ -628,10 +685,11 @@ def knn_join(
     """
     if strategy not in ("auto", "broadcast", "grid", "ring"):
         raise ValueError(f"unknown kNN strategy {strategy!r}")
-    if strategy == "broadcast" or (
-        strategy == "auto"
-        and targets.limit(broadcast_threshold + 1).count() <= broadcast_threshold
-    ):
+    if strategy == "auto":
+        strategy = _knn_auto_strategy(
+            points, targets, broadcast_threshold, grid_threshold
+        )
+    if strategy == "broadcast":
         return _knn_broadcast(
             points.select(point_key, lon_col, lat_col),
             targets,
@@ -642,10 +700,7 @@ def knn_join(
             t_lon,
             t_lat,
         )
-    if strategy == "grid" or (
-        strategy == "auto"
-        and targets.limit(grid_threshold + 1).count() <= grid_threshold
-    ):
+    if strategy == "grid":
         grid_out = _knn_grid(
             points.select(point_key, lon_col, lat_col),
             targets, k, point_key, target_key, lon_col, lat_col, t_lon, t_lat,

@@ -342,6 +342,33 @@ def test_knn_ring_auto_res_agrees(spark, points_df):
     assert ring == bc and len(ring) == len(pdf)
 
 
+def test_knn_auto_strategy_density_aware(spark):
+    """The auto rule must reproduce the measured winner of every cell
+    of the two-density sweep in BENCH/KNN_REGIMES.md (r3): broadcast
+    only when BOTH sides are small, grid whenever points dominate,
+    ring only when targets are dense relative to points. Uses lazy
+    spark.range frames — the probes are bounded limit+counts, so no
+    full materialization happens."""
+
+    def frame(n):
+        return spark.range(n)  # schema irrelevant: only counted
+
+    pick = spatial._knn_auto_strategy
+    # sweep row: 600k pts / 50k tgt → broadcast won (13.6s vs grid 18.5)
+    assert pick(frame(600_000), frame(50_000)) == "broadcast"
+    # sweep row: 6M pts / 50k tgt → broadcast LOST 2× to grid
+    assert pick(frame(6_000_000), frame(50_000)) == "grid"
+    # sweep rows: 200k targets → grid at both densities
+    assert pick(frame(600_000), frame(200_000)) == "grid"
+    assert pick(frame(6_000_000), frame(200_000)) == "grid"
+    # sweep row: 600k pts / 4M tgt (ratio 6.7) → ring won 3×
+    assert pick(frame(600_000), frame(4_000_000)) == "ring"
+    # sweep row: 6M pts / 4M tgt (ratio 0.67) → grid won (30.4 vs 41.8)
+    assert pick(frame(6_000_000), frame(4_000_000)) == "grid"
+    # absolute grid floor retained below the ratio regime
+    assert pick(frame(600_000), frame(1_000_000)) == "grid"
+
+
 def test_knn_grid_salted_hot_cell_and_escalation(spark):
     """Grid strategy internals: (a) a hot point cell far above
     max_points_per_task splits into salted subgroups with the pair

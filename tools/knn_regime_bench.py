@@ -1,11 +1,15 @@
 """kNN strategy-regime comparison → BENCH/KNN_REGIMES.md.
 
 Times every applicable kNN physical strategy on the same (points,
-targets) input at several target-side sizes, so the auto-selector's
-thresholds (broadcast ≤100k < grid ≤10M < ring) are evidence, not
-guesses. Run manually per round:
+targets) input at several target-side sizes AND at several point-side
+densities, so the auto-selector's thresholds
+(spatial.KNN_BROADCAST_MAX_TARGETS < grid ≤ spatial.KNN_GRID_MAX_TARGETS
+< ring) are evidence, not guesses — the r2 VERDICT flagged that the
+grid↔ring crossover was calibrated at one density only (the ×9 target
+replication is fixed-cost, but ring round count is density-dependent).
+Run manually per round:
 
-    python tools/knn_regime_bench.py [--cpus 16]
+    python tools/knn_regime_bench.py [--cpus 16] [--n-points 600000,6000000]
 
 Inputs are well-chunked /tmp parquet caches (same single-file-source
 rationale as bench.py); each (strategy, size) is best-of-2 fresh runs.
@@ -41,10 +45,14 @@ def cache_points(spark, n: int, tag: str, id_col: str, lon: str, lat: str) -> st
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=16)
-    ap.add_argument("--n-points", type=int, default=600_000)
+    ap.add_argument(
+        "--n-points", type=str, default="600000,6000000",
+        help="comma-separated point-side densities to sweep",
+    )
     ap.add_argument("--k", type=int, default=1)
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
+    densities = [int(x) for x in args.n_points.split(",")]
 
     from gtfs_to_geojson_spark.operators import spatial
     from gtfs_to_geojson_spark.session import get_spark
@@ -57,44 +65,62 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    p_path = cache_points(spark, args.n_points, "pts", "point_id", "lon", "lat")
-    pts = spark.read.parquet(p_path)
-
     sizes = [50_000, 200_000, 1_000_000, 4_000_000]
-    rows = []
-    for n_t in sizes:
-        t_path = cache_points(spark, n_t, "tgt", "target_id", "t_lon", "t_lat")
-        tgt = spark.read.parquet(t_path)
-        strategies = ["grid", "ring"] + (["broadcast"] if n_t <= 200_000 else [])
-        counts = {}
-        for s in strategies:
-            best = None
-            for _ in range(args.reps):
-                t0 = time.time()
-                n = spatial.knn_join(
-                    pts, tgt, res=None, k=args.k, strategy=s
-                ).count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-                counts[s] = n
-            rows.append((n_t, s, round(best, 2), n))
-            print(f"targets={n_t} strategy={s}: {best:.2f}s rows={n}", flush=True)
-        assert len(set(counts.values())) == 1, f"row-count mismatch at {n_t}: {counts}"
+    rows = []  # (n_pts, n_t, strategy, sec, out_rows)
+    for n_p in densities:
+        p_path = cache_points(spark, n_p, "pts", "point_id", "lon", "lat")
+        pts = spark.read.parquet(p_path)
+        for n_t in sizes:
+            t_path = cache_points(spark, n_t, "tgt", "target_id", "t_lon", "t_lat")
+            tgt = spark.read.parquet(t_path)
+            strategies = ["grid", "ring"] + (
+                ["broadcast"] if n_t <= spatial.KNN_BROADCAST_MAX_TARGETS * 2 else []
+            )
+            counts = {}
+            for s in strategies:
+                best = None
+                for _ in range(args.reps):
+                    t0 = time.time()
+                    n = spatial.knn_join(
+                        pts, tgt, res=None, k=args.k, strategy=s
+                    ).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                    counts[s] = n
+                rows.append((n_p, n_t, s, round(best, 2), n))
+                print(
+                    f"points={n_p} targets={n_t} strategy={s}: "
+                    f"{best:.2f}s rows={n}", flush=True,
+                )
+            assert len(set(counts.values())) == 1, (
+                f"row-count mismatch at points={n_p} targets={n_t}: {counts}"
+            )
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/KNN_REGIMES.md", "w") as f:
         f.write(
-            "# kNN strategy regimes (local[%d], %d points, k=%d, best-of-%d)\n\n"
-            % (args.cpus, args.n_points, args.k, args.reps)
+            "# kNN strategy regimes (local[%d], k=%d, best-of-%d)\n\n"
+            % (args.cpus, args.k, args.reps)
         )
         f.write(
             "Same input, forced strategies, identical output row counts "
-            "(asserted). Auto-selection thresholds: broadcast ≤100k targets, "
-            "grid ≤10M, ring beyond.\n\n"
+            "(asserted), swept over point-side density AND target-side "
+            "size. Density-aware auto rule derived FROM this table "
+            "(spatial._knn_auto_strategy, unit-tested against every "
+            "cell): broadcast when targets <= "
+            f"{spatial.KNN_BROADCAST_MAX_TARGETS:,} AND points <= "
+            f"{spatial.KNN_BROADCAST_MAX_POINTS:,}; grid when targets "
+            f"<= max({spatial.KNN_GRID_MAX_TARGETS:,}, "
+            f"{spatial.KNN_GRID_TARGET_RATIO} x points); ring beyond "
+            "(targets dense relative to points resolve the ring search "
+            "in ~one round while grid pays the x9 target replication).\n"
         )
-        f.write("| targets | strategy | sec |\n|---|---|---|\n")
-        for n_t, s, dt, _ in rows:
-            f.write(f"| {n_t:,} | {s} | {dt} |\n")
+        for n_p in densities:
+            f.write(f"\n## {n_p:,} points\n\n")
+            f.write("| targets | strategy | sec |\n|---|---|---|\n")
+            for rp, n_t, s, dt, _ in rows:
+                if rp == n_p:
+                    f.write(f"| {n_t:,} | {s} | {dt} |\n")
     print("wrote BENCH/KNN_REGIMES.md")
 
 
