@@ -152,13 +152,16 @@ def main():
     points_path = build_points_cache(spark, sf_dir, POINT_FACTOR)
 
     timings: dict[str, float] = {}
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps_env = os.environ.get("SPARK_GRAFT_BENCH_REPS")
+    reps = int(reps_env) if reps_env is not None else 3
 
     def run(name, fn, best_of: int = 1):
         # VERDICT r2 item 4: sub-2s queries showed 10-20% r1→r2 drift
         # from host load despite best-of-3 — they are cheap enough to
         # buy two extra reps, so extend adaptively once the measured
         # best confirms the query is in the noise-dominated regime.
+        # An explicit SPARK_GRAFT_BENCH_REPS is a user override and
+        # disables the extension (so REPS=1 really means one rep).
         best = None
         done = 0
         budget = max(1, best_of)
@@ -168,7 +171,8 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             done += 1
-            if done == budget and best < 2.0 and budget == max(1, best_of):
+            if (done == budget and best < 2.0
+                    and budget == max(1, best_of) and reps_env is None):
                 budget += 2
         timings[name] = round(best, 3)
         return out, best

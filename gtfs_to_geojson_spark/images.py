@@ -661,6 +661,9 @@ def decode_jfif(data: bytes) -> np.ndarray:
     while True:
         if data[pos] != 0xFF:
             raise ValueError("jfif: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before scan
@@ -722,6 +725,15 @@ def decode_jfif(data: bytes) -> np.ndarray:
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
+    for c in frame["comps"]:
+        # Legal per T.81 but unsupported here: e.g. Y=3x1 + Cb=2x1 gives a
+        # 1.5x chroma ratio, which the np.repeat upsampler can't express —
+        # integer division below would silently mis-scale the plane.
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                "jfif: non-integer sampling ratio "
+                f"(hmax={hmax}, vmax={vmax} vs component {c['h']}x{c['v']})"
+            )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     # quantized-coefficient store per scan component: (nby, nbx, 64)

@@ -162,36 +162,32 @@ def _salted_bucket_pairs(
                 "the two thresholds would silently be neither salted nor "
                 "dropped consistently"
             )
-        # Deferred accounting (ADVICE r2: the old eager over.count() ran
-        # a full Spark action at plan-construction time even if the
-        # returned plan was never executed). The drop count now rides
-        # the job as an observed metric; a daemon thread logs it once
-        # the first action over the plan completes. Verified: the
-        # CollectMetrics node is counted once even though b2 feeds both
-        # the normal and hot branches below.
+        # Exact eager accounting. An r2 attempt deferred this via
+        # Observation + a logging thread, but CollectMetrics reflects
+        # only the rows the FIRST action actually scans (a limit()/
+        # isEmpty probe under-counts or reports 0) and an unexecuted
+        # plan leaks a thread blocked in obs.get forever — both break
+        # the "no silent truncation" audit promise. Setting
+        # max_bucket_size is an explicit opt-in to drop auditing, so
+        # the exact count is paid for up front: one aggregation pass
+        # over the bucket histogram (map-side partial agg, collects
+        # two numbers), logged at plan-construction time.
         import logging
-        import threading
 
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        b2 = b2.observe(
-            obs,
-            F.sum(
-                F.when(F.col("_m") > max_bucket_size, 1).otherwise(0)
-            ).alias("dropped_memberships"),
+        drop_row = (
+            hot.filter(F.col("_m") > max_bucket_size)
+            .agg(
+                F.coalesce(F.sum("_m"), F.lit(0)).alias("memberships"),
+                F.count(F.lit(1)).alias("buckets"),
+            )
+            .first()
         )
-
-        def _log_drops():
-            n = obs.get["dropped_memberships"]
-            if n:
-                logging.getLogger(__name__).warning(
-                    "LSH: dropped %d bucket memberships in buckets larger "
-                    "than max_bucket_size=%d", n, max_bucket_size,
-                )
-
-        threading.Thread(target=_log_drops, daemon=True,
-                         name="lsh-drop-audit").start()
+        if drop_row["memberships"]:
+            logging.getLogger(__name__).warning(
+                "LSH: dropping %d bucket memberships across %d buckets "
+                "larger than max_bucket_size=%d",
+                drop_row["memberships"], drop_row["buckets"], max_bucket_size,
+            )
         b2 = b2.filter(F.col("_m").isNull() | (F.col("_m") <= max_bucket_size))
     normal = b2.filter(F.col("_m").isNull()).select("bucket", "id")
     pairs_n = normal.alias("l").join(normal.alias("r"), "bucket").select(

@@ -84,6 +84,7 @@ def connected_components(
     ).filter(F.col("u") != F.col("v")).distinct()
 
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         row = e.agg(
@@ -92,8 +93,17 @@ def connected_components(
         ).first()
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # Falling through with a non-star edge set would silently assign
+        # wrong (split / non-minimal) component ids downstream.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} star-contraction rounds; raise max_iters "
+            "(rounds needed grow O(log n) in the node count)"
+        )
 
     # converged: star graphs (child → root). Roots map to themselves;
     # min() collapses any duplicate (node, root) rows.

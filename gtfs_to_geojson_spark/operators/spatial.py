@@ -606,24 +606,28 @@ def _knn_auto_strategy(
     grid_threshold: int = KNN_GRID_MAX_TARGETS,
 ) -> str:
     """Density-aware physical-strategy choice for knn_join's ``auto``
-    mode. Probes BOTH sides with bounded limit+counts — never a full
-    count over a 100-TB side. The rules and their measured crossovers
-    live in the KNN_* constant comments; the two-density sweep in
-    BENCH/KNN_REGIMES.md is the evidence."""
-    targets_small = (
-        targets.limit(broadcast_threshold + 1).count() <= broadcast_threshold
-    )
-    if targets_small:
-        n_points_probe = points.limit(KNN_BROADCAST_MAX_POINTS + 1).count()
-        if n_points_probe <= KNN_BROADCAST_MAX_POINTS:
-            return "broadcast"
-        return "grid"  # tiny targets, huge points: grid beats both
+    mode. Probes EACH side with exactly ONE bounded limit+count — never
+    a full count over a 100-TB side, and never a second pass over a
+    possibly-expensive upstream plan. The rules and their measured
+    crossovers live in the KNN_* constant comments; the two-density
+    sweep in BENCH/KNN_REGIMES.md is the evidence."""
     n_points_probe = points.limit(KNN_POINT_PROBE_CAP + 1).count()
+    # One target probe serves both comparisons (broadcast cutoff and
+    # the density-ratio grid cutoff). When the point probe caps, the
+    # ratio cutoff is clamped to the cap — by then the join itself
+    # dwarfs the probe, and ring never materializes targets anyway.
     eff_threshold = max(
         grid_threshold, int(KNN_GRID_TARGET_RATIO * n_points_probe)
     )
-    if targets.limit(eff_threshold + 1).count() <= eff_threshold:
-        return "grid"
+    probe_cap = max(broadcast_threshold, eff_threshold)
+    n_targets_probe = targets.limit(probe_cap + 1).count()
+    if (
+        n_targets_probe <= broadcast_threshold
+        and n_points_probe <= KNN_BROADCAST_MAX_POINTS
+    ):
+        return "broadcast"
+    if n_targets_probe <= eff_threshold:
+        return "grid"  # includes tiny-targets/huge-points: grid beats broadcast
     return "ring"
 
 
@@ -788,7 +792,7 @@ def knn_join(
     # escalation loop.
     ring = 1
     if n_targets:
-        cell_w_deg = 360.0 / (2 * n)
+        cell_w_deg = 360.0 / n   # n x n grid: columns span 360/n degrees
         cell_h_deg = 180.0 / n
         span_x = max(float(t_stats[1] - t_stats[0]), cell_w_deg)
         span_y = max(float(t_stats[3] - t_stats[2]), cell_h_deg)

@@ -2095,7 +2095,9 @@ def j6b_radius_join(spark, sf_dir):
     # cell height in meters; ring count that guarantees coverage
     cell_h_m = 180.0 / n * geom.EARTH_M_PER_DEG_LAT
     max_lat = LAT0 + LAT_SPAN
-    cell_w_m = 360.0 / (2 * n) * geom.EARTH_M_PER_DEG_LAT * math.cos(math.radians(max_lat))
+    # cells.py grid is n x n: columns are 360/n lon-degrees wide
+    # (narrowest in meters at the data's max latitude)
+    cell_w_m = 360.0 / n * geom.EARTH_M_PER_DEG_LAT * math.cos(math.radians(max_lat))
     ring = max(1, math.ceil(radius_m / min(cell_h_m, cell_w_m)))
 
     pts = customer_points(spark, sf_dir)
@@ -2106,7 +2108,7 @@ def j6b_radius_join(spark, sf_dir):
     res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
     cand_cells = F.flatten(
         F.transform(
-            F.sequence(F.greatest(px - ring, F.lit(0)), F.least(px + ring, F.lit(2 * n - 1))),
+            F.sequence(F.greatest(px - ring, F.lit(0)), F.least(px + ring, F.lit(n - 1))),
             lambda x: F.transform(
                 F.sequence(F.greatest(py - ring, F.lit(0)), F.least(py + ring, F.lit(n - 1))),
                 lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,
@@ -2176,7 +2178,9 @@ def a3b_dissolve_components(spark, sf_dir):
     radius_m = 800.0
     cell_h_m = 180.0 / n * geom.EARTH_M_PER_DEG_LAT
     max_lat = LAT0 + LAT_SPAN
-    cell_w_m = 360.0 / (2 * n) * geom.EARTH_M_PER_DEG_LAT * math.cos(math.radians(max_lat))
+    # cells.py grid is n x n: columns are 360/n lon-degrees wide
+    # (narrowest in meters at the data's max latitude)
+    cell_w_m = 360.0 / n * geom.EARTH_M_PER_DEG_LAT * math.cos(math.radians(max_lat))
     ring = max(1, math.ceil(radius_m / min(cell_h_m, cell_w_m)))
 
     s = supplier_points(spark, sf_dir).filter(F.col("s_suppkey") <= 40)
@@ -2189,7 +2193,7 @@ def a3b_dissolve_components(spark, sf_dir):
     res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
     cand_cells = F.flatten(
         F.transform(
-            F.sequence(F.greatest(px - ring, F.lit(0)), F.least(px + ring, F.lit(2 * n - 1))),
+            F.sequence(F.greatest(px - ring, F.lit(0)), F.least(px + ring, F.lit(n - 1))),
             lambda x: F.transform(
                 F.sequence(F.greatest(py - ring, F.lit(0)), F.least(py + ring, F.lit(n - 1))),
                 lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,

@@ -315,20 +315,15 @@ def test_lsh_max_bucket_size_drops_and_logs(spark, caplog):
         capped = dedup.minhash_lsh_pairs(
             docs, threshold=0.5, target_bucket_rows=8, max_bucket_size=20
         ).toPandas()
-        # r3: the drop count rides the job as an observed metric and is
-        # logged by a daemon thread once the action completes — poll
-        # briefly instead of asserting synchronously
-        import time
-
-        deadline = time.monotonic() + 10.0
-        while time.monotonic() < deadline and not any(
-            "max_bucket_size" in r.message for r in caplog.records
-        ):
-            time.sleep(0.05)
     got = _pairs_set(capped)
     assert (100, 101) in got                       # small bucket intact
     assert not any(a < 50 and b < 50 for a, b in got)  # hot clique dropped
-    assert any("max_bucket_size" in r.message for r in caplog.records)
+    # r3: the drop count is computed eagerly and exactly at plan
+    # construction (an observed-metric attempt under-counted beneath
+    # short-circuit actions). 50 identical docs agree on all 4 band
+    # buckets → 4 over-cap buckets × 50 memberships dropped.
+    msgs = [r.message for r in caplog.records if "max_bucket_size" in r.message]
+    assert msgs and "dropping 200 bucket memberships across 4 buckets" in msgs[0]
 
     with pytest.raises(ValueError, match="max_bucket_size"):
         dedup.minhash_lsh_pairs(

@@ -79,6 +79,16 @@ def test_cc_empty_edges(spark):
     assert got == {1: 1, 3: 3, 4: 4}
 
 
+def test_cc_raises_on_max_iters_exhaustion(spark):
+    """Exhausting max_iters without a stable signature must raise —
+    falling through would silently assign split / non-minimal
+    component ids (r3 review finding)."""
+    edges = [(i, i + 1) for i in range(49)]
+    edf = spark.createDataFrame(edges, schema="src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(edf, max_iters=1)
+
+
 def test_geoagg_dissolve_components(spark):
     """The a3b invariant: the dissolve kernel's polygon count equals
     the connected-component count of the circle-overlap graph —

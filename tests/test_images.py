@@ -354,6 +354,33 @@ def test_jfif_grayscale_single_component_decode():
     assert I.psnr(np.stack([gray] * 3, -1).astype(np.uint8), back) >= 40.0
 
 
+def test_jfif_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; a conformant decoder must skip them (r3 review finding)."""
+    px = _smooth_fixture(24, 24, seed=3)
+    data = I.encode_jfif(px, quality=92)
+    want = I.decode_jfif(data)
+    padded = bytearray(data)
+    # pad every header marker our encoder emits: DQT, SOF0, DHT, SOS
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        idx = padded.find(marker)
+        padded[idx:idx] = b"\xff" * 3
+    assert np.array_equal(I.decode_jfif(bytes(padded)), want)
+
+
+def test_jfif_non_integer_sampling_rejected():
+    """Legal-but-unsupported fractional chroma ratios (e.g. Y=3x1 vs
+    Cb=2x1) must raise NotImplementedError instead of silently
+    mis-scaling the chroma planes (r3 review finding)."""
+    px = _smooth_fixture(16, 16)
+    data = bytearray(I.encode_jfif(px, quality=92, subsample="444"))
+    idx = data.find(b"\xff\xc0")
+    data[idx + 11] = 0x31  # Y:  h=3, v=1
+    data[idx + 14] = 0x21  # Cb: h=2, v=1 -> hmax % h = 3 % 2 != 0
+    with pytest.raises(NotImplementedError, match="sampling"):
+        I.decode_jfif(bytes(data))
+
+
 def test_jfif_progressive_and_junk_rejected():
     px = _smooth_fixture(16, 16)
     data = bytearray(I.encode_jfif(px))
