@@ -231,14 +231,17 @@ def point_in_polygon_join(
 # the chunking inside the kernel.
 KNN_BROADCAST_MAX_TARGETS = 100_000
 
-# ... but only when the POINT side is also modest: the broadcast
-# kernel's per-point cost has a bigger constant than grid's cogrouped
-# chord-matmul, so its small-target advantage inverts once the point
-# side grows — measured (BENCH/KNN_REGIMES.md): at 600k points /
-# 50k targets broadcast wins 1.4× over grid, at 6M points it LOSES 2×
-# (99.2 s vs 52.4 s). Above this point count auto falls through to
-# grid even for tiny target sides.
-KNN_BROADCAST_MAX_POINTS = 1_000_000
+# ... but only while the total matmul work is modest: the broadcast
+# kernel's per-point cost scales with n_targets (every point is dotted
+# against the whole broadcast side), so its viability tracks the
+# PRODUCT n_points × n_targets, not either count alone. Measured
+# (BENCH/KNN_REGIMES.md + the r2/r3 scaling runs at 4.8M points ×
+# 1k targets): broadcast wins 1.4× at product 3.0e10 (600k × 50k),
+# wins 4-6× at 4.8e9 (4.8M × 1k — an absolute 1M-point cap first
+# tried in r3 wrongly routed this cell to grid, 26.4 s vs 6.0 s),
+# loses 4× at 1.2e11 (600k × 200k) and 2× at 3.0e11 (6M × 50k).
+# Log-linear crossover of the measured ratios ≈ 4e10.
+KNN_BROADCAST_MAX_PRODUCT = 40_000_000_000
 
 # grid-vs-ring is a RATIO decision, not an absolute target count: ring
 # wins only when targets are dense relative to points (the ring search
@@ -623,7 +626,7 @@ def _knn_auto_strategy(
     n_targets_probe = targets.limit(probe_cap + 1).count()
     if (
         n_targets_probe <= broadcast_threshold
-        and n_points_probe <= KNN_BROADCAST_MAX_POINTS
+        and n_points_probe * n_targets_probe <= KNN_BROADCAST_MAX_PRODUCT
     ):
         return "broadcast"
     if n_targets_probe <= eff_threshold:
@@ -654,10 +657,11 @@ def knn_join(
     BOTH sides under ``strategy='auto'`` (density-aware since r3 — the
     two-density sweep in BENCH/KNN_REGIMES.md is the evidence):
 
-    * ``broadcast`` (≤ 100k targets AND ≤ 1M points): target side
-      shipped whole, one shuffle-free map pass over the points
-      (_knn_broadcast); at larger point sides its per-point constant
-      loses to grid even for tiny target sides;
+    * ``broadcast`` (≤ 100k targets AND points × targets ≤ 4e10):
+      target side shipped whole, one shuffle-free map pass over the
+      points (_knn_broadcast); its per-point cost scales with the
+      target count, so viability tracks the matmul PRODUCT — tiny
+      target sides broadcast even against multi-million-point sides;
     * ``grid`` (targets ≤ max(2M, 2 × points)): points co-partitioned
       with ×9-replicated targets by density-derived cell, local
       chord-matmul top-k per cogroup, ring-1 guarantee, stragglers

@@ -358,6 +358,10 @@ def test_knn_auto_strategy_density_aware(spark):
     assert pick(frame(600_000), frame(50_000)) == "broadcast"
     # sweep row: 6M pts / 50k tgt → broadcast LOST 2× to grid
     assert pick(frame(6_000_000), frame(50_000)) == "grid"
+    # scaling-run cell: 4.8M pts / 1k tgt → broadcast won 4-6× over
+    # grid (r2 6.0s vs r3 26.4s at local[4]) — the broadcast cap is a
+    # points×targets PRODUCT, not an absolute point count
+    assert pick(frame(4_800_000), frame(1_000)) == "broadcast"
     # sweep rows: 200k targets → grid at both densities
     assert pick(frame(600_000), frame(200_000)) == "grid"
     assert pick(frame(6_000_000), frame(200_000)) == "grid"

@@ -108,8 +108,8 @@ def main():
             "size. Density-aware auto rule derived FROM this table "
             "(spatial._knn_auto_strategy, unit-tested against every "
             "cell): broadcast when targets <= "
-            f"{spatial.KNN_BROADCAST_MAX_TARGETS:,} AND points <= "
-            f"{spatial.KNN_BROADCAST_MAX_POINTS:,}; grid when targets "
+            f"{spatial.KNN_BROADCAST_MAX_TARGETS:,} AND points x targets "
+            f"<= {spatial.KNN_BROADCAST_MAX_PRODUCT:,}; grid when targets "
             f"<= max({spatial.KNN_GRID_MAX_TARGETS:,}, "
             f"{spatial.KNN_GRID_TARGET_RATIO} x points); ring beyond "
             "(targets dense relative to points resolve the ring search "
