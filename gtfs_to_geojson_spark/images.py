@@ -14,9 +14,10 @@ stdlib+numpy (SURVEY.md §7 hard part 5):
 All three are lossless, so the per-row invariant "decoded-pixel
 allclose (PSNR≥40dB for lossy)" holds exactly (PSNR = inf). Two real
 lossy codecs exercise the 40 dB gate: ``dctq`` (numpy JPEG-analog, the
-bench-speed path) and ``jfif`` — a from-scratch baseline-sequential
-JPEG (ITU-T T.81) encoder/decoder, so real-world ``jpeg``/``jpg``
-bytes decode without PIL.
+bench-speed path) and ``jfif`` — a from-scratch ITU-T T.81 JPEG
+encoder/decoder covering baseline sequential AND progressive (SOF2,
+spectral selection + successive approximation), so real-world
+``jpeg``/``jpg`` bytes decode without PIL.
 
 ``phash64`` is a deterministic 8×8 average-hash of the grayscale
 image — it both verifies decode integrity and derives the image's
@@ -263,18 +264,24 @@ def decode_dctq(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# jfif — baseline sequential JPEG (ITU-T T.81), from scratch
+# jfif — baseline sequential + progressive JPEG (ITU-T T.81), from scratch
 # ---------------------------------------------------------------------------
 # Converts the most common real-world image format from a documented
-# NotImplementedError seam into a working path (VERDICT r2 item 6). The
-# encoder writes a conformant baseline JFIF stream (SOI/APP0/DQT/SOF0/
-# DHT/SOS/EOI, Annex-K "typical" quantization + Huffman tables, 4:4:4 /
-# 4:2:2 / 4:2:0 chroma subsampling, optional restart intervals); the
-# decoder is generic baseline: it reads the tables FROM the stream
-# (arbitrary DQT/DHT, any Hi×Vi sampling with integer ratios, DRI/RSTn,
-# grayscale or YCbCr), so it also decodes third-party baseline JPEGs,
-# not just its own output. Progressive (SOF2) and arithmetic coding
-# raise NotImplementedError.
+# NotImplementedError seam into a working path (VERDICT r2 item 6;
+# progressive added later in r3). The encoder writes a conformant JFIF
+# stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex-K "typical" quantization
+# + Huffman tables, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, optional
+# restart intervals), and with ``progressive=True`` a SOF2 stream using
+# libjpeg's standard 10-scan script (spectral selection + successive
+# approximation, T.81 Annex G). The decoder is generic: it reads the
+# tables FROM the stream (arbitrary DQT/DHT, any Hi×Vi sampling with
+# integer ratios, DRI/RSTn, grayscale or YCbCr, interleaved or
+# single-component scans), decodes baseline (SOF0/SOF1) AND progressive
+# (SOF2) Huffman streams — including truncated progressive streams,
+# which reconstruct at the refinement level reached — so it also
+# decodes third-party JPEGs, not just its own output. Arithmetic
+# coding and the hierarchical/lossless processes raise
+# NotImplementedError.
 #
 # Scale note: the entropy stage is per-bit Python, so this codec is an
 # ingest-boundary / test path, NOT the bench hot path — the synthetic
@@ -516,12 +523,68 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def _jencode_block(bw, block, qtab, dc_tab, ac_tab, pred):
-    """Forward DCT + quantize + zigzag + Huffman one 8×8 block; returns
-    the new DC predictor."""
-    coefs = _DCT8 @ (block - 128.0) @ _DCT8.T
-    q = np.round(coefs / qtab).astype(np.int64)
-    zz = q.ravel()[_JZZ]
+# Progressive AC scans need EOBn run-length symbols (0x10..0xE0) that
+# the Annex-K sequential tables don't define; a flat 256-symbol table
+# (255 codes of length 9, one of length 10) keeps the encoder simple —
+# compression ratio is not this codec's goal (ingest/test path), and
+# the decoder always reads whatever DHT the stream carries.
+_JH_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+               list(range(256)))
+
+# libjpeg's standard progressive scan script (jcparam.c
+# jpeg_simple_progression), for a 3-component frame: interleaved DC
+# first, split luma spectral bands, then successive-approximation
+# refinements. Entries: (kind, comps, Ss, Se, Ah, Al).
+_JPROG_SCRIPT = (
+    ("dc", (0, 1, 2), 0, 0, 0, 1),
+    ("ac", (0,), 1, 5, 0, 2),
+    ("ac", (1,), 1, 63, 0, 1),
+    ("ac", (2,), 1, 63, 0, 1),
+    ("ac", (0,), 6, 63, 0, 2),
+    ("ac", (0,), 1, 63, 2, 1),
+    ("dc", (0, 1, 2), 0, 0, 1, 0),
+    ("ac", (1,), 1, 63, 1, 0),
+    ("ac", (2,), 1, 63, 1, 0),
+    ("ac", (0,), 1, 63, 1, 0),
+)
+
+
+def _jfif_coef_stores(pixels: np.ndarray, quality: int, subsample: str):
+    """Pad, color-convert, chroma-downsample, forward-DCT and quantize
+    the whole image at once (vectorized numpy). Returns per-component
+    int64 coefficient stores of shape (nby, nbx, 64) in ZIGZAG order
+    (the padded MCU-grid block counts), plus the quant tables, the
+    sampling spec and the MCU grid dims."""
+    h, w, _ = pixels.shape
+    samp = _JSAMPLING[subsample]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    qy = _jpeg_qtab(_JQ_LUMA, quality)
+    qc = _jpeg_qtab(_JQ_CHROMA, quality)
+    qtabs = [qy, qc, qc]
+    stores = []
+    for ci, plane in enumerate(_rgb_to_ycbcr(pixels)):
+        hi, vi = samp[ci]
+        fy, fx = vmax // vi, hmax // hi
+        p = np.pad(plane, ((0, mcus_y * mcu_h - h), (0, mcus_x * mcu_w - w)),
+                   mode="edge")
+        if fy > 1 or fx > 1:  # box-average chroma downsample
+            H, W = p.shape
+            p = p.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        coefs = _DCT8 @ blocks @ _DCT8.T
+        q = np.round(coefs / qtabs[ci]).astype(np.int64).reshape(nby, nbx, 64)
+        stores.append(q[:, :, _JZZ])
+    return stores, qy, qc, samp, mcus_x, mcus_y
+
+
+def _jencode_block(bw, zz, dc_tab, ac_tab, pred):
+    """Huffman-code one quantized block (zigzag-ordered ints) for a
+    sequential scan; returns the new DC predictor."""
     dc = int(zz[0])
     diff = dc - pred
     mag = abs(diff)
@@ -553,65 +616,124 @@ def _jencode_block(bw, block, qtab, dc_tab, ac_tab, pred):
     return dc
 
 
+class _JProgACEnc:
+    """Entropy encoder for one progressive AC scan (single component;
+    T.81 G.1.2.2 first pass / G.1.2.3 refinement pass). Carries the
+    EOB-run counter and the refinement correction bits buffered against
+    the next emitted symbol across blocks, exactly mirroring the read
+    order of the decoder's refinement advance loop (libjpeg
+    jcphuff.c/jdphuff.c semantics)."""
+
+    def __init__(self, bw, ac_tab, ss, se, al, refine):
+        self.bw = bw
+        self.tab = ac_tab
+        self.ss, self.se, self.al = ss, se, al
+        self.refine = refine
+        self.eobrun = 0
+        self.pending = []  # correction bits owed at the next EOB-run flush
+
+    def _sym(self, rs):
+        code, ln = self.tab[rs]
+        self.bw.write(code, ln)
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            n = self.eobrun.bit_length() - 1
+            self._sym(n << 4)
+            if n:
+                self.bw.write(self.eobrun & ((1 << n) - 1), n)
+            for b in self.pending:
+                self.bw.write(b, 1)
+            self.pending = []
+            self.eobrun = 0
+
+    def block(self, zz):
+        if self.refine:
+            self._block_refine(zz)
+        else:
+            self._block_first(zz)
+
+    def _block_first(self, zz):
+        r = 0
+        for k in range(self.ss, self.se + 1):
+            v = int(zz[k])
+            v = -((-v) >> self.al) if v < 0 else v >> self.al
+            if v == 0:
+                r += 1
+                continue
+            self.flush_eobrun()
+            while r > 15:
+                self._sym(0xF0)  # ZRL
+                r -= 16
+            s = abs(v).bit_length()
+            self._sym((r << 4) | s)
+            self.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def _block_refine(self, zz):
+        vals = [int(zz[k]) for k in range(self.ss, self.se + 1)]
+        absv = [(-v if v < 0 else v) >> self.al for v in vals]
+        # index AFTER the last newly-nonzero coefficient: runs beyond it
+        # fold into the EOB run instead of ZRLs
+        eob = 0
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i + 1
+        r = 0
+        br = []  # correction bits owed at the next symbol in this block
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                self.flush_eobrun()
+                self._sym(0xF0)
+                r -= 16
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+            if a > 1:
+                # nonzero in an earlier pass: just the next magnitude bit
+                br.append(a & 1)
+                continue
+            # a == 1: becomes nonzero in this pass
+            self.flush_eobrun()
+            self._sym((r << 4) | 1)
+            self.bw.write(1 if vals[i] >= 0 else 0, 1)
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+            r = 0
+        if r or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF or len(self.pending) > 930:
+                self.flush_eobrun()
+
+
 def encode_jfif(
     pixels: np.ndarray,
     quality: int = 92,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
+    _scan_spans: list | None = None,
 ) -> bytes:
-    """Baseline sequential JFIF encoder (Annex-K tables; see section
-    comment). ``subsample`` ∈ {"444","422","420"}; ``restart_interval``
-    in MCUs (0 = none)."""
+    """JFIF encoder (Annex-K tables; see section comment). ``subsample``
+    ∈ {"444","422","420"}; ``restart_interval`` in MCUs (0 = none).
+    ``progressive=True`` writes a SOF2 stream using libjpeg's standard
+    10-scan script. ``_scan_spans`` (test hook) collects the byte offset
+    at the end of each scan's entropy data, so tests can truncate a
+    progressive stream at scan boundaries."""
     h, w, _ = pixels.shape
-    samp = _JSAMPLING[subsample]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-    qy = _jpeg_qtab(_JQ_LUMA, quality)
-    qc = _jpeg_qtab(_JQ_CHROMA, quality)
-
-    planes = []
-    for ci, plane in enumerate(_rgb_to_ycbcr(pixels)):
-        hi, vi = samp[ci]
-        fy, fx = vmax // vi, hmax // hi
-        p = np.pad(plane, ((0, mcus_y * mcu_h - h), (0, mcus_x * mcu_w - w)),
-                   mode="edge")
-        if fy > 1 or fx > 1:  # box-average chroma downsample
-            H, W = p.shape
-            p = p.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
-        planes.append(p)
-
-    enc_dc = [_huff_encode_table(*_JH_DC_LUMA), _huff_encode_table(*_JH_DC_CHROMA)]
-    enc_ac = [_huff_encode_table(*_JH_AC_LUMA), _huff_encode_table(*_JH_AC_CHROMA)]
-    qtabs = [qy, qc, qc]
+    stores, qy, qc, samp, mcus_x, mcus_y = _jfif_coef_stores(
+        pixels, quality, subsample)
     tsel = [0, 1, 1]
-
-    bw = _JBitWriter()
-    preds = [0, 0, 0]
-    mcu_i = 0
-    rst_n = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw.byte_align()
-                bw.out += bytes([0xFF, 0xD0 + rst_n])
-                rst_n = (rst_n + 1) % 8
-                preds = [0, 0, 0]
-            for ci in range(3):
-                hi, vi = samp[ci]
-                for by in range(vi):
-                    for bx in range(hi):
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        block = planes[ci][y0:y0 + 8, x0:x0 + 8]
-                        preds[ci] = _jencode_block(
-                            bw, block, qtabs[ci],
-                            enc_dc[tsel[ci]], enc_ac[tsel[ci]], preds[ci],
-                        )
-            mcu_i += 1
-    bw.byte_align()
+    enc_dc = [_huff_encode_table(*_JH_DC_LUMA), _huff_encode_table(*_JH_DC_CHROMA)]
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -632,25 +754,294 @@ def encode_jfif(
     for ci in range(3):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, hi * 16 + vi, tsel[ci]])
-    out += seg(0xC0, sof)
-    out += dht(0, 0, *_JH_DC_LUMA) + dht(1, 0, *_JH_AC_LUMA)
-    out += dht(0, 1, *_JH_DC_CHROMA) + dht(1, 1, *_JH_AC_CHROMA)
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    if progressive:
+        out += dht(0, 0, *_JH_DC_LUMA) + dht(0, 1, *_JH_DC_CHROMA)
+        out += dht(1, 0, *_JH_AC_FLAT)
+    else:
+        out += dht(0, 0, *_JH_DC_LUMA) + dht(1, 0, *_JH_AC_LUMA)
+        out += dht(0, 1, *_JH_DC_CHROMA) + dht(1, 1, *_JH_AC_CHROMA)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([3])
-    for ci in range(3):
-        sos += bytes([ci + 1, tsel[ci] * 16 + tsel[ci]])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += bw.out
+
+    def emit_restart(bw, rst_n):
+        bw.byte_align()
+        bw.out += bytes([0xFF, 0xD0 + rst_n])
+        return (rst_n + 1) % 8
+
+    if not progressive:
+        enc_ac = [_huff_encode_table(*_JH_AC_LUMA),
+                  _huff_encode_table(*_JH_AC_CHROMA)]
+        sos = bytes([3])
+        for ci in range(3):
+            sos += bytes([ci + 1, tsel[ci] * 16 + tsel[ci]])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        bw = _JBitWriter()
+        preds = [0, 0, 0]
+        mcu_i = 0
+        rst_n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    rst_n = emit_restart(bw, rst_n)
+                    preds = [0, 0, 0]
+                for ci in range(3):
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            preds[ci] = _jencode_block(
+                                bw, stores[ci][my * vi + by, mx * hi + bx],
+                                enc_dc[tsel[ci]], enc_ac[tsel[ci]], preds[ci],
+                            )
+                mcu_i += 1
+        bw.byte_align()
+        out += bw.out
+        if _scan_spans is not None:
+            _scan_spans.append(len(out))
+        out += bytes([0xFF, 0xD9])  # EOI
+        return bytes(out)
+
+    # progressive: one SOS per script entry
+    ac_flat = _huff_encode_table(*_JH_AC_FLAT)
+    for kind, comps, ss, se, ah, al in _JPROG_SCRIPT:
+        sos = bytes([len(comps)])
+        for ci in comps:
+            # DC scans: Td = component's DC table, Ta unused (0).
+            # AC scans: Td unused, Ta = 0 (the shared flat table).
+            sos += bytes([ci + 1, tsel[ci] * 16 if kind == "dc" else 0])
+        sos += bytes([ss, se, ah * 16 + al])
+        out += seg(0xDA, sos)
+        bw = _JBitWriter()
+        rst_n = 0
+        if kind == "dc":
+            preds = [0] * len(comps)
+            for mcu_i in range(mcus_y * mcus_x):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    rst_n = emit_restart(bw, rst_n)
+                    preds = [0] * len(comps)
+                my, mx = divmod(mcu_i, mcus_x)
+                for si, ci in enumerate(comps):
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc = int(stores[ci][my * vi + by, mx * hi + bx, 0])
+                            if ah == 0:
+                                t = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+                                diff = t - preds[si]
+                                preds[si] = t
+                                s = abs(diff).bit_length()
+                                code, ln = enc_dc[tsel[ci]][s]
+                                bw.write(code, ln)
+                                if s:
+                                    bw.write(diff if diff >= 0
+                                             else diff + (1 << s) - 1, s)
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+        else:
+            ci = comps[0]
+            hi, vi = samp[ci]
+            # single-component scan: block grid is the ceil of the
+            # component's true sample dims, not the padded MCU grid
+            hmax = max(s[0] for s in samp)
+            vmax = max(s[1] for s in samp)
+            comp_w = -(-w * hi // hmax)  # ceil: component's true sample dims
+            comp_h = -(-h * vi // vmax)
+            nbx = -(-comp_w // 8)
+            nby = -(-comp_h // 8)
+            enc = _JProgACEnc(bw, ac_flat, ss, se, al, refine=ah != 0)
+            for mcu_i in range(nby * nbx):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    enc.flush_eobrun()
+                    rst_n = emit_restart(bw, rst_n)
+                my, mx = divmod(mcu_i, nbx)
+                enc.block(stores[ci][my, mx])
+            enc.flush_eobrun()
+        bw.byte_align()
+        out += bw.out
+        if _scan_spans is not None:
+            _scan_spans.append(len(out))
     out += bytes([0xFF, 0xD9])  # EOI
     return bytes(out)
 
 
+def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
+    """Decode one scan's entropy-coded data into the frame's persistent
+    per-component coefficient stores (T.81 F.2 sequential, G.2
+    progressive). Returns the byte offset of the next marker. ``scan``
+    is [(comp, Td, Ta), ...] in scan order."""
+    prog = frame["prog"]
+    interleaved = len(scan) > 1
+    if prog:
+        if ss == 0 and se != 0:
+            raise ValueError("jfif: progressive DC scan must have Se=0")
+        if ss > 0 and interleaved:
+            raise ValueError("jfif: progressive AC scans are single-component")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("jfif: invalid sequential scan header")
+    if interleaved:
+        n_mcus = frame["mcus_x"] * frame["mcus_y"]
+    else:
+        n_mcus = scan[0][0]["nbx"] * scan[0][0]["nby"]
+    mode = ("seq" if not prog else
+            "dc_first" if ss == 0 and ah == 0 else
+            "dc_refine" if ss == 0 else
+            "ac_first" if ah == 0 else "ac_refine")
+    br = _JBitReader(data, pos)
+    st = {"preds": [0] * len(scan), "eobrun": 0}
+    p1, m1 = 1 << al, -(1 << al)
+
+    def block_seq(zzv, si, dc_tab, ac_tab):
+        s = _jhuff_decode_sym(br, dc_tab)
+        diff = _jextend(br.read_bits(s), s) if s else 0
+        st["preds"][si] += diff
+        zzv[0] = st["preds"][si]  # _JZZ[0] == 0: DC leads the zigzag
+        k = 1
+        while k <= 63:
+            rs = _jhuff_decode_sym(br, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("jfif: AC index overflow")
+            zzv[_JZZ[k]] = _jextend(br.read_bits(s), s)
+            k += 1
+
+    def block_dc_first(zzv, si, dc_tab):
+        s = _jhuff_decode_sym(br, dc_tab)
+        diff = _jextend(br.read_bits(s), s) if s else 0
+        st["preds"][si] += diff
+        zzv[0] = st["preds"][si] << al
+
+    def block_dc_refine(zzv):
+        if br.read_bit():
+            # two's-complement OR works for negatives: the first pass's
+            # arithmetic shift left this bit zero
+            zzv[0] = int(zzv[0]) | p1
+
+    def block_ac_first(zzv, ac_tab):
+        if st["eobrun"] > 0:
+            st["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _jhuff_decode_sym(br, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    st["eobrun"] = (1 << r) - 1  # this block is a member
+                    if r:
+                        st["eobrun"] += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("jfif: AC index overflow")
+            zzv[_JZZ[k]] = _jextend(br.read_bits(s), s) << al
+            k += 1
+
+    def _refine_correct(zzv, k):
+        c = int(zzv[_JZZ[k]])
+        if br.read_bit() and (c & p1) == 0:
+            zzv[_JZZ[k]] = c + (p1 if c >= 0 else m1)
+
+    def block_ac_refine(zzv, ac_tab):
+        k = ss
+        if st["eobrun"] == 0:
+            while k <= se:
+                rs = _jhuff_decode_sym(br, ac_tab)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        st["eobrun"] = 1 << r
+                        if r:
+                            st["eobrun"] += br.read_bits(r)
+                        break
+                    # r == 15 (ZRL): advance over 16 zero-history coefs
+                else:
+                    if s != 1:
+                        raise ValueError("jfif: refinement magnitude != 1")
+                    val = p1 if br.read_bit() else m1
+                # advance: correction bits for already-nonzero coefs,
+                # count down r over still-zero ones, then place val
+                while k <= se:
+                    if int(zzv[_JZZ[k]]) != 0:
+                        _refine_correct(zzv, k)
+                    else:
+                        if r == 0:
+                            if val:
+                                zzv[_JZZ[k]] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if st["eobrun"] > 0:
+            while k <= se:  # corrections for the rest of the band
+                if int(zzv[_JZZ[k]]) != 0:
+                    _refine_correct(zzv, k)
+                k += 1
+            st["eobrun"] -= 1
+
+    rst_n = 0
+    try:
+        for mcu_i in range(n_mcus):
+            if dri and mcu_i and mcu_i % dri == 0:
+                br.restart(rst_n)
+                rst_n = (rst_n + 1) % 8
+                st["preds"] = [0] * len(scan)
+                st["eobrun"] = 0
+            if interleaved:
+                my, mx = divmod(mcu_i, frame["mcus_x"])
+                for si, (comp, td, ta) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            zzv = comp["store"][my * comp["v"] + by,
+                                                mx * comp["h"] + bx]
+                            if mode == "seq":
+                                block_seq(zzv, si, htabs[(0, td)], htabs[(1, ta)])
+                            elif mode == "dc_first":
+                                block_dc_first(zzv, si, htabs[(0, td)])
+                            else:  # dc_refine (AC modes are single-component)
+                                block_dc_refine(zzv)
+            else:
+                comp, td, ta = scan[0]
+                by, bx = divmod(mcu_i, comp["nbx"])
+                zzv = comp["store"][by, bx]
+                if mode == "seq":
+                    block_seq(zzv, 0, htabs[(0, td)], htabs[(1, ta)])
+                elif mode == "dc_first":
+                    block_dc_first(zzv, 0, htabs[(0, td)])
+                elif mode == "dc_refine":
+                    block_dc_refine(zzv)
+                elif mode == "ac_first":
+                    block_ac_first(zzv, htabs[(1, ta)])
+                else:
+                    block_ac_refine(zzv, htabs[(1, ta)])
+    except _JMarkerHit as m:
+        if m.marker != 0xD9:
+            raise ValueError(f"jfif: unexpected marker 0x{m.marker:02x} in scan")
+        return br.pos - 1  # truncated stream: let the main loop see EOI
+    # skip padding bits / stuffed bytes up to the next marker
+    pos = br.pos
+    while data[pos] != 0xFF or data[pos + 1] == 0x00:
+        pos += 1
+    return pos
+
+
 def decode_jfif(data: bytes) -> np.ndarray:
-    """Generic baseline-sequential JPEG decoder (tables read from the
-    stream; any integer Hi×Vi sampling; DRI/RSTn; grayscale or YCbCr).
-    Raises NotImplementedError for progressive/arithmetic streams."""
+    """Generic JPEG decoder: baseline sequential (SOF0/SOF1) and
+    progressive (SOF2) Huffman streams — tables read from the stream,
+    any integer Hi×Vi sampling, interleaved or single-component scans,
+    spectral selection + successive approximation, DRI/RSTn, grayscale
+    or YCbCr. A truncated progressive stream (early EOI) reconstructs
+    at the refinement level reached. Raises NotImplementedError for
+    arithmetic-coded and hierarchical/lossless processes."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jfif: missing SOI")
     pos = 2
@@ -658,6 +1049,7 @@ def decode_jfif(data: bytes) -> np.ndarray:
     htabs: dict[tuple, tuple] = {}
     frame = None
     dri = 0
+    nscans = 0
     while True:
         if data[pos] != 0xFF:
             raise ValueError("jfif: expected marker")
@@ -666,12 +1058,15 @@ def decode_jfif(data: bytes) -> np.ndarray:
             pos += 1
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before scan
-            raise ValueError("jfif: no scan data")
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("jfif: progressive JPEG not supported")
-        if marker in (0xC9, 0xCB, 0xCD):
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            continue
+        if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("jfif: arithmetic coding not supported")
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError(
+                "jfif: lossless/hierarchical process not supported")
         ln = struct.unpack(">H", data[pos:pos + 2])[0]
         payload = data[pos + 2:pos + ln]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -696,97 +1091,71 @@ def decode_jfif(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline + ext. seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             ncomp = payload[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": struct.unpack(">H", payload[1:3])[0],
-                     "w": struct.unpack(">H", payload[3:5])[0],
-                     "comps": comps}
+            h = struct.unpack(">H", payload[1:3])[0]
+            w = struct.unpack(">H", payload[3:5])[0]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                # Legal per T.81 but unsupported here: e.g. Y=3x1 + Cb=2x1
+                # gives a 1.5x chroma ratio, which the np.repeat upsampler
+                # can't express — integer division below would silently
+                # mis-scale the plane.
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise NotImplementedError(
+                        "jfif: non-integer sampling ratio "
+                        f"(hmax={hmax}, vmax={vmax} vs component "
+                        f"{c['h']}x{c['v']})"
+                    )
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                # single-component scans traverse the ceil of the
+                # component's true sample dims; interleaved scans the
+                # (possibly larger) padded MCU grid
+                c["nbx"] = -(-(-(-w * c["h"] // hmax)) // 8)
+                c["nby"] = -(-(-(-h * c["v"] // vmax)) // 8)
+                c["store"] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+            frame = {"h": h, "w": w, "comps": comps, "hmax": hmax,
+                     "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+                     "prog": marker == 0xC2}
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jfif: SOS before SOF")
             ns = payload[0]
-            if ns != len(frame["comps"]):
-                raise NotImplementedError("jfif: non-interleaved scans")
             scan = []
             for c in range(ns):
                 cs, tda = payload[1 + 2 * c:3 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tda >> 4, tda & 15))
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            ahl = payload[3 + 2 * ns]
             pos += ln
-            break
+            pos = _jdecode_scan(data, pos, frame, htabs, scan,
+                                ss, se, ahl >> 4, ahl & 15, dri)
+            nscans += 1
+            continue
         pos += ln
-
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    for c in frame["comps"]:
-        # Legal per T.81 but unsupported here: e.g. Y=3x1 + Cb=2x1 gives a
-        # 1.5x chroma ratio, which the np.repeat upsampler can't express —
-        # integer division below would silently mis-scale the plane.
-        if hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError(
-                "jfif: non-integer sampling ratio "
-                f"(hmax={hmax}, vmax={vmax} vs component {c['h']}x{c['v']})"
-            )
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # quantized-coefficient store per scan component: (nby, nbx, 64)
-    stores = [np.zeros((mcus_y * comp["v"], mcus_x * comp["h"], 64),
-                       dtype=np.float64) for comp, _, _ in scan]
-
-    br = _JBitReader(data, pos)
-    preds = [0] * len(scan)
-    mcu_i = 0
-    rst_n = 0
-    try:
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if dri and mcu_i and mcu_i % dri == 0:
-                    br.restart(rst_n)
-                    rst_n = (rst_n + 1) % 8
-                    preds = [0] * len(scan)
-                for si, (comp, td, ta) in enumerate(scan):
-                    dc_tab = htabs[(0, td)]
-                    ac_tab = htabs[(1, ta)]
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            zz = stores[si][my * comp["v"] + by,
-                                            mx * comp["h"] + bx]
-                            s = _jhuff_decode_sym(br, dc_tab)
-                            diff = _jextend(br.read_bits(s), s) if s else 0
-                            preds[si] += diff
-                            zz[_JZZ[0]] = preds[si]
-                            k = 1
-                            while k <= 63:
-                                rs = _jhuff_decode_sym(br, ac_tab)
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("jfif: AC index overflow")
-                                zz[_JZZ[k]] = _jextend(br.read_bits(s), s)
-                                k += 1
-                mcu_i += 1
-    except _JMarkerHit as m:
-        if m.marker != 0xD9:
-            raise ValueError(f"jfif: unexpected marker 0x{m.marker:02x} in scan")
+    if frame is None or nscans == 0:
+        raise ValueError("jfif: no scan data")
 
     # vectorized dequant + IDCT + upsample per component
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out_planes = []
-    for si, (comp, _, _) in enumerate(scan):
+    for comp in frame["comps"]:
         q = qtabs[comp["tq"]].ravel()
-        nby, nbx, _ = stores[si].shape
-        blocks = (stores[si] * q).reshape(nby, nbx, 8, 8)
+        nby, nbx, _ = comp["store"].shape
+        blocks = (comp["store"].astype(np.float64) * q).reshape(nby, nbx, 8, 8)
         px = _DCT8.T @ blocks @ _DCT8 + 128.0
         plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         fy, fx = vmax // comp["v"], hmax // comp["h"]

@@ -3,11 +3,13 @@
 Images, audio, and video are opaque ``binary`` columns with typed
 metadata (input_hint schema). Decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` kernels, all REAL in
-this sandbox: images via the from-scratch ppm/bmp/png/dctq codecs,
-video via the seekable GVID container, audio via the RIFF/PCM16 WAV
-walker (all in images.py). Foreign formats whose codecs genuinely need
-external libs (jpeg/webp/mp3/mp4) raise ``NotImplementedError`` at the
-decode seam — the documented boundary per the build contract.
+this sandbox: images via the from-scratch ppm/bmp/png/dctq codecs plus
+the ITU-T T.81 JPEG codec (baseline sequential AND progressive since
+r3), video via the seekable GVID container, audio via the RIFF/PCM16
+WAV walker (all in images.py). Foreign formats whose codecs genuinely
+need external libs (webp/mp3/mp4, arithmetic-coded JPEG) raise
+``NotImplementedError`` at the decode seam — the documented boundary
+per the build contract.
 """
 
 from __future__ import annotations

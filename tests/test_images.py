@@ -263,6 +263,15 @@ def _smooth_fixture(h, w, seed=0):
     return np.clip(np.round(np.stack([r, g, b], -1) + n), 0, 255).astype(np.uint8)
 
 
+def _noisy_fixture(h, w, seed=0):
+    """Busier fixture (stronger noise): populates high-frequency AC
+    coefficients so progressive spectral bands / refinement passes all
+    carry real data."""
+    px = _smooth_fixture(h, w, seed).astype(np.float64)
+    n = np.random.default_rng(seed + 1000).normal(0, 12, (h, w, 3))
+    return np.clip(np.round(px + n), 0, 255).astype(np.uint8)
+
+
 def test_jfif_roundtrip_psnr_gate():
     """Input-hint lossy contract: decoded-pixel PSNR >= 40 dB (at a
     quality where the bitstream still quantizes — not bit-exact)."""
@@ -328,10 +337,10 @@ def test_jfif_grayscale_single_component_decode():
     pred = 0
     for by in range(2):
         for bx in range(2):
-            pred = I._jencode_block(
-                bw, gray[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
-                qy, dc_tab, ac_tab, pred,
-            )
+            block = gray[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coefs = I._DCT8 @ (block - 128.0) @ I._DCT8.T
+            zz = np.round(coefs / qy).astype(np.int64).ravel()[I._JZZ]
+            pred = I._jencode_block(bw, zz, dc_tab, ac_tab, pred)
     bw.byte_align()
 
     def seg(marker, payload):
@@ -381,13 +390,129 @@ def test_jfif_non_integer_sampling_rejected():
         I.decode_jfif(bytes(data))
 
 
-def test_jfif_progressive_and_junk_rejected():
+def test_jfif_arithmetic_and_junk_rejected():
     px = _smooth_fixture(16, 16)
     data = bytearray(I.encode_jfif(px))
-    # rewrite SOF0 (0xC0) marker to SOF2 (progressive)
     idx = data.find(b"\xff\xc0")
+    # SOF9 (arithmetic-coded sequential) stays a documented seam
+    data[idx + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        I.decode_jfif(bytes(data))
+    # SOF2 with a baseline full-band scan header is malformed progressive
     data[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="Se=0"):
         I.decode_jfif(bytes(data))
     with pytest.raises(ValueError):
         I.decode_jfif(b"not a jpeg")
+
+
+def test_jfif_progressive_matches_baseline_exactly():
+    """Fully-refined progressive coefficients are the baseline
+    coefficients, so the decoded pixels must be BIT-identical per
+    subsampling mode. 50x46 forces padded MCU grids that are wider
+    than the single-component scan grids (420 luma: 8 vs 7 block
+    columns), exercising the two traversal geometries."""
+    px = _noisy_fixture(50, 46, seed=11)
+    for ss in ("444", "422", "420"):
+        base = I.decode_jfif(I.encode_jfif(px, quality=92, subsample=ss))
+        prog = I.decode_jfif(
+            I.encode_jfif(px, quality=92, subsample=ss, progressive=True))
+        assert np.array_equal(base, prog), ss
+
+
+def test_jfif_progressive_truncation_refines():
+    """A progressive stream cut at any scan boundary (early EOI) must
+    still decode, at monotonically non-degrading quality — the property
+    progressive JPEG exists for."""
+    px = _noisy_fixture(50, 46, seed=11)
+    spans = []
+    data = I.encode_jfif(px, quality=92, subsample="420",
+                         progressive=True, _scan_spans=spans)
+    assert len(spans) == 10  # libjpeg standard script
+    psnrs = []
+    for cut in spans:
+        dec = I.decode_jfif(data[:cut] + b"\xff\xd9")
+        assert dec.shape == px.shape
+        psnrs.append(I.psnr(px, dec))
+    # DC-only pass is already a recognizable image
+    assert psnrs[0] > 15.0
+    # each added scan refines (tiny float slack for DC-refine rounding)
+    assert all(b >= a - 0.05 for a, b in zip(psnrs, psnrs[1:]))
+    # the fully-refined stream equals the untruncated decode
+    assert np.array_equal(I.decode_jfif(data[:spans[-1]] + b"\xff\xd9"),
+                          I.decode_jfif(data))
+
+
+def test_jfif_progressive_restart_intervals_identical_pixels():
+    px = _noisy_fixture(34, 30, seed=5)
+    plain = I.decode_jfif(I.encode_jfif(px, quality=90, subsample="420",
+                                        progressive=True))
+    rst = I.encode_jfif(px, quality=90, subsample="420",
+                        progressive=True, restart_interval=2)
+    assert rst.count(b"\xff\xd0") >= 1  # RST0 actually emitted
+    assert np.array_equal(I.decode_jfif(rst), plain)
+
+
+def test_jfif_progressive_sparse_runs_exact():
+    """Adversarial coefficient layout: a near-flat image with isolated
+    bright dots makes AC bands almost all zero → long EOB runs spanning
+    many blocks (EOBRUN>1 + appended-bit encoding), ZRL symbols inside
+    refinement passes, and buffered correction bits attached to EOB
+    flushes. Any bitstream desync on those paths garbles every later
+    coefficient, so bit-exact equality with the baseline decode is a
+    strong probe."""
+    h, w = 64, 64
+    px = np.full((h, w, 3), 128, dtype=np.uint8)
+    # isolated dots, several blocks apart (long inter-block EOB runs);
+    # in-block position 7,7 maximizes the leading zero run (ZRL paths)
+    for by, bx in [(0, 0), (3, 5), (7, 2), (5, 7)]:
+        px[by * 8 + 7, bx * 8 + 7] = (255, 0, 255)
+        px[by * 8 + 3, bx * 8 + 6] = (0, 255, 30)
+    # one pure-AC(0,1) cosine block: a single strong coefficient and no
+    # ±1 ringing, so at refinement passes the whole block folds into an
+    # EOB run WITH buffered correction bits (the pending-bits path)
+    cos_row = 128 + 60 * np.cos(np.pi * (2 * np.arange(8) + 1) / 16.0)
+    blk = np.clip(np.round(np.tile(cos_row, (8, 1))), 0, 255).astype(np.uint8)
+    px[16:24, 32:40] = blk[:, :, None]
+
+    # instrument the scan encoder to prove the paths actually fire —
+    # a vacuously-passing equality test would be worse than none
+    hits = {"eobrun_gt1": 0, "pending_bits": 0, "zrl": 0}
+    orig_flush = I._JProgACEnc.flush_eobrun
+    orig_sym = I._JProgACEnc._sym
+
+    def flush(self):
+        if self.eobrun > 1:
+            hits["eobrun_gt1"] += 1
+        hits["pending_bits"] += len(self.pending)
+        orig_flush(self)
+
+    def sym(self, rs):
+        if rs == 0xF0:
+            hits["zrl"] += 1
+        orig_sym(self, rs)
+
+    I._JProgACEnc.flush_eobrun = flush
+    I._JProgACEnc._sym = sym
+    try:
+        for q in (75, 92, 97):
+            base = I.decode_jfif(I.encode_jfif(px, quality=q, subsample="420"))
+            prog = I.decode_jfif(
+                I.encode_jfif(px, quality=q, subsample="420", progressive=True))
+            assert np.array_equal(base, prog), q
+    finally:
+        I._JProgACEnc.flush_eobrun = orig_flush
+        I._JProgACEnc._sym = orig_sym
+    assert hits["eobrun_gt1"] > 0      # appended-bit EOBn symbols
+    assert hits["pending_bits"] > 0    # corrections flushed inside EOB runs
+    assert hits["zrl"] > 0             # ZRL symbols (incl. refinement)
+
+
+def test_jfif_progressive_roundtrip_psnr_gate():
+    """The lossy-format contract (BASELINE.json input_hint): PSNR>=40dB
+    at high quality, for the progressive path too."""
+    px = _smooth_fixture(48, 40, seed=9)
+    data = I.encode_jfif(px, quality=97, progressive=True)
+    assert I.psnr(px, I.decode_jfif(data)) >= 40.0
+    # alias dispatch decodes progressive bytes transparently
+    assert np.array_equal(I.decode(data, "jpeg"), I.decode_jfif(data))
