@@ -1202,7 +1202,18 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
             f"fmt={fmt!r}: decodable formats are {tuple(_DECODERS)} (no PIL in "
             "this sandbox)"
         ) from None
-    return dec(data)
+    try:
+        return dec(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error, zlib.error, OverflowError) as e:
+        # Corrupt/truncated streams must surface as ONE auditable error
+        # type at the ingest boundary, not whatever internal access
+        # happened to fail first — the Spark kernels turn ValueError
+        # into decoded=false rows instead of killing a 100-TB job.
+        raise ValueError(
+            f"{fmt}: corrupt or truncated stream ({type(e).__name__}: {e})"
+        ) from e
 
 
 # ---------------------------------------------------------------------------

@@ -44,7 +44,10 @@ def decode_pixel_stats(images: DataFrame) -> DataFrame:
             ):
                 try:
                     px = img.decode(bytes(data), fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # foreign format OR corrupt/truncated bytes: both
+                    # surface as an auditable decoded=false row — one
+                    # bad byte range must not kill a 100-TB ingest job
                     rows.append((image_id, fmt, int(w), int(h), False,
                                  None, None, None, None, None, None))
                     continue
@@ -94,16 +97,23 @@ def decode_tile_assign(images: DataFrame, res: int) -> DataFrame:
             for i, (data, fmt, stored) in enumerate(
                 zip(pdf["bytes"], pdf["fmt"], pdf["phash"])
             ):
-                px = img.decode(bytes(data), fmt)
                 ph[i] = int(stored)
-                if fmt in img.LOSSY_FORMATS:
-                    # lossy contract (input_hint): decoded-pixel PSNR ≥ 40 dB
-                    # on the codec roundtrip; phash equality is a lossless-
-                    # only invariant (quantization may flip hash bits)
-                    rt = img.decode(img.encode(px, fmt), fmt)
-                    ok[i] = img.psnr(px, rt) >= 40.0
-                else:
-                    ok[i] = img.phash64(px) == int(stored)
+                try:
+                    px = img.decode(bytes(data), fmt)
+                    if fmt in img.LOSSY_FORMATS:
+                        # lossy contract (input_hint): decoded-pixel PSNR
+                        # ≥ 40 dB on the codec roundtrip; phash equality is
+                        # a lossless-only invariant (quantization may flip
+                        # hash bits)
+                        rt = img.decode(img.encode(px, fmt), fmt)
+                        ok[i] = img.psnr(px, rt) >= 40.0
+                    else:
+                        ok[i] = img.phash64(px) == int(stored)
+                except (NotImplementedError, ValueError):
+                    # undecodable/corrupt bytes: the tile is still derived
+                    # from the stored phash below, but the row is flagged
+                    # unverified (phash_match=false) for callers to filter
+                    ok[i] = False
             lon, lat = img.geotag_from_phash(ph)
             tile = cells.encode(lat, lon, res)
             yield pd.DataFrame(
@@ -123,13 +133,22 @@ def decode_tile_assign(images: DataFrame, res: int) -> DataFrame:
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize, re-encoded in the same format — a real
     kernel proving the decode→transform→encode plumbing. Returns the
-    input schema with bytes/w/h replaced."""
+    input schema with bytes/w/h replaced. Undecodable/corrupt rows are
+    kept with null bytes and w=h=0 (filter ``bytes IS NULL`` to audit)
+    rather than failing the job or silently passing through full-size
+    images."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_bytes, ws, hs = [], [], []
             for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
-                px = img.decode(bytes(data), fmt)
+                try:
+                    px = img.decode(bytes(data), fmt)
+                except (NotImplementedError, ValueError):
+                    out_bytes.append(None)
+                    ws.append(0)
+                    hs.append(0)
+                    continue
                 ys = (np.arange(out_h) * px.shape[0] // out_h).astype(np.int64)
                 xs = (np.arange(out_w) * px.shape[1] // out_w).astype(np.int64)
                 rs = px[ys][:, xs]
@@ -236,8 +255,16 @@ def color_embedding(images: DataFrame, grid: int = 4) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             embs = []
-            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
-                px = img.decode(bytes(data), fmt).astype(np.float64)
+            keep = []
+            for row_i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                try:
+                    px = img.decode(bytes(data), fmt).astype(np.float64)
+                except (NotImplementedError, ValueError):
+                    # undecodable bytes can't match anything — excluded
+                    # from candidate generation (run decode_pixel_stats
+                    # to audit which rows were dropped)
+                    continue
+                keep.append(row_i)
                 h, w, _ = px.shape
                 cells_ = np.empty((grid, grid, 3), dtype=np.float64)
                 for gy in range(grid):
@@ -248,8 +275,9 @@ def color_embedding(images: DataFrame, grid: int = 4) -> DataFrame:
                 e = (cells_ - px.mean(axis=(0, 1))).ravel()
                 n = np.linalg.norm(e)
                 embs.append((e / n if n > 1e-12 else e).tolist())
+            sub = pdf.iloc[keep]
             yield pd.DataFrame(
-                {"image_id": pdf["image_id"], "fmt": pdf["fmt"], "embedding": embs}
+                {"image_id": sub["image_id"], "fmt": sub["fmt"], "embedding": embs}
             )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(

@@ -181,6 +181,74 @@ def test_decode_tile_assign_verifies_lossy(spark):
     assert sorted(out["caption"]) == sorted(f"cap {i}" for i in range(12))
 
 
+def test_decode_error_normalization():
+    """Corrupt/truncated streams must surface as ValueError (one
+    auditable error type at the ingest boundary), never a raw
+    IndexError/KeyError/struct.error from codec internals."""
+    px = np.full((16, 16, 3), 128, np.uint8)
+    for fmt in ("jfif", "png", "bmp", "ppm", "dctq"):
+        good = I.encode(px, fmt)
+        for cut in (len(good) // 3, len(good) // 2, len(good) - 5):
+            try:
+                I.decode(good[:cut], fmt)
+            except ValueError:
+                pass  # the contract
+            except NotImplementedError:
+                pass  # acceptable: truncation landed on a feature gate
+            # a clean decode of a truncated stream is fine for formats
+            # whose payload is over-complete (e.g. trailing padding)
+    # stripped Huffman tables (KeyError internally) -> ValueError
+    good = I.encode_jfif(px, 92)
+    i = good.find(b"\xff\xc4")
+    import struct as _s
+    ln = _s.unpack(">H", good[i + 2:i + 4])[0]
+    with pytest.raises(ValueError, match="corrupt or truncated"):
+        I.decode(good[:i] + good[i + 2 + ln:], "jfif")
+
+
+def test_kernels_survive_corrupt_rows(spark):
+    """One bad byte range must not kill the job: every image kernel
+    turns corrupt rows into auditable output (decoded=false /
+    phash_match=false / null bytes / excluded) and processes the rest
+    of the batch normally."""
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import multimodal
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(8):
+        px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        fmt = ("png", "dctq", "jfif", "bmp")[i % 4]
+        data = I.encode(px, fmt)
+        if i in (2, 5):  # corrupt: truncate mid-stream
+            data = data[: len(data) // 2]
+        rows.append(
+            (f"im_{i:03d}", data, 16, 16, fmt, f"cap {i}", I.phash64(px))
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]),
+        schema="image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    bad = {"im_002", "im_005"}
+
+    stats = multimodal.decode_pixel_stats(df).toPandas().set_index("image_id")
+    assert set(stats.index[~stats["decoded"]]) == bad
+    assert stats.loc[~stats.index.isin(bad), "decoded"].all()
+
+    tiles = multimodal.decode_tile_assign(df, res=12).toPandas().set_index("image_id")
+    assert len(tiles) == 8  # corrupt rows kept (tile from stored phash)
+    assert set(tiles.index[~tiles["phash_match"]]) == bad
+
+    rs = multimodal.resize_images(df, 8, 8).toPandas().set_index("image_id")
+    assert all(rs.loc[b, "bytes"] is None and rs.loc[b, "w"] == 0 for b in bad)
+    good_ids = [i for i in rs.index if i not in bad]
+    assert all(rs.loc[g, "bytes"] is not None and rs.loc[g, "w"] == 8 for g in good_ids)
+
+    emb = multimodal.color_embedding(df).toPandas()
+    assert set(emb["image_id"]) == set(rs.index) - bad  # documented exclusion
+
+
 def test_image_near_dup_across_formats(spark):
     """The same picture stored as png AND as lossy dctq must pair up;
     unrelated structured images must not."""
