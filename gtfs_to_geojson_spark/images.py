@@ -1331,19 +1331,29 @@ def encode_video(frames: list, fmt: str = "png") -> bytes:
 
 def video_info(data: bytes) -> tuple[int, int, int, str, list[tuple[int, int]]]:
     """(n_frames, w, h, fmt, [(offset, length)]) without decoding any
-    pixels — the seek table."""
+    pixels — the seek table. Raises ValueError on a corrupt or
+    truncated container (header short, bad fmt index, or the seek
+    table pointing past the end of the bytes)."""
     import struct
 
     if data[:4] != VIDEO_MAGIC:
         raise ValueError("not a GVID container")
-    n, w, h, fi = struct.unpack("<HHHB", data[4:11])
-    lens = struct.unpack(f"<{n}I", data[11 : 11 + 4 * n])
+    try:
+        n, w, h, fi = struct.unpack("<HHHB", data[4:11])
+        lens = struct.unpack(f"<{n}I", data[11 : 11 + 4 * n])
+        fmt = _VID_FMTS[fi]
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"gvid: corrupt or truncated header ({e})") from e
     off = 11 + 4 * n
     offsets = []
     for ln in lens:
         offsets.append((off, ln))
         off += ln
-    return n, w, h, _VID_FMTS[fi], offsets
+    if off > len(data):
+        raise ValueError(
+            f"gvid: truncated container (seek table needs {off} bytes, "
+            f"have {len(data)})")
+    return n, w, h, fmt, offsets
 
 
 def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
@@ -1392,8 +1402,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError(
+                f"wav: truncated {tag!r} chunk ({len(body)} of {ln} bytes)")
         if tag == b"fmt ":
-            _fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            try:
+                _fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            except struct.error as e:
+                raise ValueError(f"wav: corrupt fmt chunk ({e})") from e
         elif tag == b"data":
             pcm = body
         pos += 8 + ln + (ln & 1)

@@ -174,14 +174,25 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     Scale shape: the container's length table gives O(1) frame seeks,
     so sampling every Nth frame DECODES only the sampled frames —
     bytes of skipped frames are never touched. Arrow-batched
-    mapInPandas; output fan-out is frames/every_n per row."""
+    mapInPandas; output fan-out is frames/every_n per row. A corrupt
+    or truncated container surfaces as a single auditable sentinel row
+    (frame_idx=-1, null bytes, w=h=0) instead of killing the job or
+    silently contributing zero frames."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vids, idxs, bts, ws, hs = [], [], [], [], []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
                 data = bytes(data)
-                n, w, h, fmt, offs = img.video_info(data)
+                try:
+                    n, w, h, fmt, offs = img.video_info(data)
+                except ValueError:
+                    vids.append(vid)
+                    idxs.append(-1)
+                    bts.append(None)
+                    ws.append(0)
+                    hs.append(0)
+                    continue
                 for fi in range(0, n, every_n):
                     o, ln = offs[fi]
                     vids.append(vid)
@@ -209,13 +220,20 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
     r2 (images.decode_wav is a from-scratch RIFF walker; no codec lib).
     Per row: duration, RMS level, zero-crossing count, and spectral
     centroid (numpy rfft on the mono mix) — the standard cheap
-    features a training-data pipeline filters on. Arrow-batched."""
+    features a training-data pipeline filters on. Arrow-batched.
+    Corrupt/truncated bytes surface as a row with all-null features
+    (filter ``duration_s IS NULL`` to audit) instead of failing the
+    job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
-                s, sr = img.decode_wav(bytes(data))
+                try:
+                    s, sr = img.decode_wav(bytes(data))
+                except ValueError:
+                    rows.append((aid, None, None, None, None))
+                    continue
                 mono = s.mean(axis=1)
                 dur = len(mono) / sr
                 rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0

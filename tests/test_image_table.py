@@ -156,11 +156,19 @@ def test_sample_video_frames_real(spark):
         frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(10)]
         frames_by_vid[f"v{v}"] = frames
         vids.append((f"v{v}", I.encode_video(frames, "png")))
+    # corrupt container mid-batch: must not kill the job, must surface
+    # as the documented frame_idx=-1 sentinel row
+    good = I.encode_video(frames_by_vid["v0"], "png")
+    vids.append(("v_corrupt", good[: len(good) // 2]))
     df = spark.createDataFrame(
         pd.DataFrame(vids, columns=["video_id", "bytes"]),
         schema="video_id string, bytes binary",
     )
     out = multimodal.sample_video_frames(df, every_n=4).collect()
+    sentinel = [r for r in out if r["video_id"] == "v_corrupt"]
+    assert len(sentinel) == 1 and sentinel[0]["frame_idx"] == -1
+    assert sentinel[0]["bytes"] is None and sentinel[0]["w"] == 0
+    out = [r for r in out if r["video_id"] != "v_corrupt"]
     assert len(out) == 3 * 3  # indices 0, 4, 8 per video
     for r in out:
         assert r["frame_idx"] in (0, 4, 8) and (r["w"], r["h"]) == (8, 8)
@@ -180,6 +188,8 @@ def test_extract_audio_features_real(spark):
     rows = [
         ("sine", I.encode_wav(amp * np.sin(2 * np.pi * f0 * t), sr)),
         ("silence", I.encode_wav(np.zeros(sr), sr)),
+        # corrupt mid-batch: all-null feature row, job survives
+        ("corrupt", I.encode_wav(np.zeros(sr), sr)[:20]),
     ]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["audio_id", "bytes"]),
@@ -193,3 +203,5 @@ def test_extract_audio_features_real(spark):
     assert abs(s["spectral_centroid_hz"] - f0) < 5.0
     z = out["silence"]
     assert z["rms"] == 0.0 and z["spectral_centroid_hz"] == 0.0
+    c = out["corrupt"]
+    assert c["duration_s"] is None and c["rms"] is None
