@@ -181,6 +181,28 @@ def test_decode_tile_assign_verifies_lossy(spark):
     assert sorted(out["caption"]) == sorted(f"cap {i}" for i in range(12))
 
 
+@pytest.mark.parametrize("ss,dri,hw", [
+    ("444", 1, (24, 24)),
+    ("422", 2, (50, 46)),
+    ("420", 5, (17, 9)),
+    ("420", 2, (8, 8)),
+    ("444", 1, (1, 1)),
+])
+def test_jfif_progressive_baseline_equivalence_matrix(ss, dri, hw):
+    """Progressive and baseline share one quantized-coefficient
+    pipeline, so their decodes must be bit-identical under every
+    combination of subsampling, restart interval and awkward dims
+    (non-MCU-aligned, single-block, single-pixel)."""
+    rng = np.random.default_rng(hash((ss, dri, hw)) % 2**31)
+    px = np.clip(rng.normal(128, 40, hw + (3,)), 0, 255).astype(np.uint8)
+    want = I.decode_jfif(I.encode_jfif(px, 90, ss))
+    for progressive in (False, True):
+        got = I.decode_jfif(
+            I.encode_jfif(px, 90, ss, restart_interval=dri,
+                          progressive=progressive))
+        assert np.array_equal(got, want), (ss, dri, hw, progressive)
+
+
 def test_decode_error_normalization():
     """Corrupt/truncated streams must surface as ValueError (one
     auditable error type at the ingest boundary), never a raw
