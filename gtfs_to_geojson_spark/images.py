@@ -865,6 +865,13 @@ def encode_jfif(
     return bytes(out)
 
 
+# Decoder resource guard: corrupt SOF dimension bytes must not drive a
+# multi-GB coefficient-store allocation (review r3 finding). 2^26 px
+# (= 8192x8192) is far beyond anything this per-bit-Python ingest/test
+# codec is for; legitimate larger imagery belongs to the numpy codecs.
+JFIF_MAX_PIXELS = 1 << 26
+
+
 def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
     """Decode one scan's entropy-coded data into the frame's persistent
     per-component coefficient stores (T.81 F.2 sequential, G.2
@@ -1093,12 +1100,33 @@ def decode_jfif(data: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             ncomp = payload[5]
+            if ncomp not in (1, 3):
+                # 4-component (Adobe CMYK) and exotic counts: only the
+                # grayscale/YCbCr color models are implemented — raise
+                # the auditable seam error BEFORE spending the decode
+                raise NotImplementedError(
+                    f"jfif: {ncomp}-component color model not supported")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             h = struct.unpack(">H", payload[1:3])[0]
             w = struct.unpack(">H", payload[3:5])[0]
+            if h == 0 or w == 0:
+                raise ValueError("jfif: zero frame dimension")
+            if h * w > JFIF_MAX_PIXELS:
+                # corrupt dim bytes would otherwise drive a multi-GB
+                # np.zeros before any entropy data is read; this is an
+                # ingest/test-path codec (per-bit Python entropy), so a
+                # generous-but-bounded cap is the right failure mode
+                raise ValueError(
+                    f"jfif: {w}x{h} exceeds the decoder pixel cap "
+                    f"({JFIF_MAX_PIXELS})")
+            for c in comps:
+                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+                    raise ValueError(
+                        f"jfif: sampling factor {c['h']}x{c['v']} outside "
+                        "the T.81 range 1..4")
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             for c in comps:
@@ -1134,8 +1162,17 @@ def decode_jfif(data: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cs, tda = payload[1 + 2 * c:3 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, tda >> 4, tda & 15))
+                # explicit lookup: a corrupted selector byte must raise
+                # ValueError, not StopIteration (which PEP 479 turns
+                # into RuntimeError inside the Arrow kernel generators,
+                # escaping the decode() normalization entirely)
+                for x in frame["comps"]:
+                    if x["id"] == cs:
+                        scan.append((x, tda >> 4, tda & 15))
+                        break
+                else:
+                    raise ValueError(
+                        f"jfif: SOS selects unknown component id {cs}")
             ss = payload[1 + 2 * ns]
             se = payload[2 + 2 * ns]
             ahl = payload[3 + 2 * ns]
@@ -1417,5 +1454,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing fmt/data chunk")
     if bits != 16:
         raise ValueError(f"only PCM16 supported, got {bits}-bit")
+    if sr <= 0 or not ch or ch <= 0:
+        # corrupt fmt-chunk bytes: a zero sample rate would surface as
+        # ZeroDivisionError in the feature kernel, escaping its
+        # ValueError handling (review r3 finding)
+        raise ValueError(f"wav: invalid sample rate {sr} / channels {ch}")
     arr = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32767.0
     return arr.reshape(-1, ch), sr

@@ -626,6 +626,13 @@ def _knn_auto_strategy(
     n_targets_probe = targets.limit(probe_cap + 1).count()
     if (
         n_targets_probe <= broadcast_threshold
+        # a saturated point probe means the true product is UNKNOWN
+        # beyond >= (cap+1) x targets — never commit an unbounded
+        # matmul to broadcast on a lower bound (review r3: the capped
+        # count silently passed the product test for any >=50M-point
+        # side with <=800 targets); grid won every huge-point sweep
+        # cell, so it is the safe fall-through
+        and n_points_probe <= KNN_POINT_PROBE_CAP
         and n_points_probe * n_targets_probe <= KNN_BROADCAST_MAX_PRODUCT
     ):
         return "broadcast"

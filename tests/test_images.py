@@ -228,6 +228,79 @@ def test_decode_error_normalization():
         I.decode(good[:i] + good[i + 2 + ln:], "jfif")
 
 
+def test_decode_header_validation():
+    """Corrupt header fields that previously escaped the ValueError
+    normalization (review r3): unknown SOS component selector
+    (StopIteration), CMYK component counts (TypeError at color
+    conversion), zero/huge frame dims (executor-killing np.zeros),
+    out-of-range sampling factors."""
+    px = np.full((16, 16, 3), 128, np.uint8)
+    good = bytearray(I.encode_jfif(px, 92))
+    sof = good.index(b"\xff\xc0")
+    sos = good.index(b"\xff\xda")
+
+    def mutated(at, val):
+        m = bytearray(good)
+        m[at] = val
+        return bytes(m)
+
+    # SOS first component selector -> unknown id
+    with pytest.raises(ValueError, match="unknown component"):
+        I.decode(mutated(sos + 5, 0x77), "jfif")
+    # SOF ncomp=4 (CMYK-shaped) -> auditable NotImplementedError
+    with pytest.raises(NotImplementedError, match="4-component"):
+        I.decode(mutated(sof + 9, 4), "jfif")
+    # SOF height=0
+    m = bytearray(good); m[sof + 5] = 0; m[sof + 6] = 0
+    with pytest.raises(ValueError, match="zero frame"):
+        I.decode(bytes(m), "jfif")
+    # SOF dims past the pixel cap must NOT attempt the allocation
+    m = bytearray(good)
+    m[sof + 5] = m[sof + 6] = m[sof + 7] = m[sof + 8] = 0xFF
+    with pytest.raises(ValueError, match="pixel cap"):
+        I.decode(bytes(m), "jfif")
+    # sampling factor 0 (corrupt nibble)
+    with pytest.raises(ValueError, match="sampling factor"):
+        I.decode(mutated(sof + 11, 0x01 * 16 + 0), "jfif")
+
+    # WAV: zeroed sample-rate bytes -> ValueError, not ZeroDivisionError
+    wav = bytearray(I.encode_wav(np.zeros(100), 8000))
+    srt = wav.index((8000).to_bytes(4, "little"))
+    wav[srt:srt + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="sample rate"):
+        I.decode_wav(bytes(wav))
+
+
+def test_decode_fuzz_single_byte_corruption():
+    """Every single-byte corruption of a valid stream must either
+    decode (harmless bit flip) or raise exactly ValueError /
+    NotImplementedError — never IndexError/KeyError/struct.error/
+    RuntimeError/MemoryError. Seeded, deterministic."""
+    px = np.clip(
+        np.random.default_rng(2).normal(128, 40, (16, 16, 3)), 0, 255
+    ).astype(np.uint8)
+    rng = np.random.default_rng(42)
+    for progressive in (False, True):
+        good = I.encode_jfif(px, 90, "420", restart_interval=2,
+                             progressive=progressive)
+        for _ in range(150):
+            at = int(rng.integers(2, len(good)))
+            val = int(rng.integers(0, 256))
+            m = bytearray(good)
+            m[at] = val
+            try:
+                out = I.decode(bytes(m), "jfif")
+                assert out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass
+        # truncations at every tenth byte
+        for cut in range(2, len(good), max(1, len(good) // 40)):
+            try:
+                I.decode(good[:cut], "jfif")
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_kernels_survive_corrupt_rows(spark):
     """One bad byte range must not kill the job: every image kernel
     turns corrupt rows into auditable output (decoded=false /

@@ -373,6 +373,10 @@ def test_knn_auto_strategy_density_aware(spark):
     assert pick(frame(600_000), frame(4_000_000)) == "ring"
     # sweep row: 6M pts / 4M tgt (ratio 0.67) → grid won (30.4 vs 41.8)
     assert pick(frame(6_000_000), frame(4_000_000)) == "grid"
+    # saturated point probe (> KNN_POINT_PROBE_CAP): the true product
+    # is unknown beyond a lower bound — must NOT broadcast even though
+    # the capped product would pass (review r3 finding)
+    assert pick(frame(spatial.KNN_POINT_PROBE_CAP + 2), frame(500)) == "grid"
     # absolute grid floor retained below the ratio regime
     assert pick(frame(600_000), frame(1_000_000)) == "grid"
 
