@@ -66,35 +66,44 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     sizes = [50_000, 200_000, 1_000_000, 4_000_000]
+    # the product-cap cell (4.8M x 1k, product 4.8e9) is pinned into
+    # every regeneration: it is the measured evidence that the
+    # broadcast cutoff is a points-x-targets PRODUCT (r3) — a tiny
+    # target side must broadcast even against a multi-million-point
+    # side (measured: broadcast 5.2s vs grid 12.7s vs ring 22.9s)
+    extra_cells = [(4_800_000, 1_000)]
     rows = []  # (n_pts, n_t, strategy, sec, out_rows)
-    for n_p in densities:
-        p_path = cache_points(spark, n_p, "pts", "point_id", "lon", "lat")
-        pts = spark.read.parquet(p_path)
-        for n_t in sizes:
-            t_path = cache_points(spark, n_t, "tgt", "target_id", "t_lon", "t_lat")
-            tgt = spark.read.parquet(t_path)
-            strategies = ["grid", "ring"] + (
-                ["broadcast"] if n_t <= spatial.KNN_BROADCAST_MAX_TARGETS * 2 else []
+    cells = [(n_p, n_t) for n_p in densities for n_t in sizes] + extra_cells
+    last_np = None
+    for n_p, n_t in cells:
+        if n_p != last_np:
+            p_path = cache_points(spark, n_p, "pts", "point_id", "lon", "lat")
+            pts = spark.read.parquet(p_path)
+            last_np = n_p
+        t_path = cache_points(spark, n_t, "tgt", "target_id", "t_lon", "t_lat")
+        tgt = spark.read.parquet(t_path)
+        strategies = ["grid", "ring"] + (
+            ["broadcast"] if n_t <= spatial.KNN_BROADCAST_MAX_TARGETS * 2 else []
+        )
+        counts = {}
+        for s in strategies:
+            best = None
+            for _ in range(args.reps):
+                t0 = time.time()
+                n = spatial.knn_join(
+                    pts, tgt, res=None, k=args.k, strategy=s
+                ).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                counts[s] = n
+            rows.append((n_p, n_t, s, round(best, 2), n))
+            print(
+                f"points={n_p} targets={n_t} strategy={s}: "
+                f"{best:.2f}s rows={n}", flush=True,
             )
-            counts = {}
-            for s in strategies:
-                best = None
-                for _ in range(args.reps):
-                    t0 = time.time()
-                    n = spatial.knn_join(
-                        pts, tgt, res=None, k=args.k, strategy=s
-                    ).count()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-                    counts[s] = n
-                rows.append((n_p, n_t, s, round(best, 2), n))
-                print(
-                    f"points={n_p} targets={n_t} strategy={s}: "
-                    f"{best:.2f}s rows={n}", flush=True,
-                )
-            assert len(set(counts.values())) == 1, (
-                f"row-count mismatch at points={n_p} targets={n_t}: {counts}"
-            )
+        assert len(set(counts.values())) == 1, (
+            f"row-count mismatch at points={n_p} targets={n_t}: {counts}"
+        )
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/KNN_REGIMES.md", "w") as f:
@@ -115,7 +124,8 @@ def main():
             "(targets dense relative to points resolve the ring search "
             "in ~one round while grid pays the x9 target replication).\n"
         )
-        for n_p in densities:
+        seen = list(dict.fromkeys(rp for rp, *_ in rows))
+        for n_p in seen:  # densities plus the pinned extra cells
             f.write(f"\n## {n_p:,} points\n\n")
             f.write("| targets | strategy | sec |\n|---|---|---|\n")
             for rp, n_t, s, dt, _ in rows:
