@@ -376,6 +376,7 @@ def _zigzag() -> np.ndarray:
 
 
 _JZZ = _zigzag()
+_JZZ_L = [int(v) for v in _JZZ]  # plain-int copy for the decode hot loop
 
 
 def _jpeg_qtab(base: np.ndarray, quality: int) -> np.ndarray:
@@ -398,19 +399,31 @@ def _huff_encode_table(bits, vals):
 
 
 def _huff_decode_table(bits, vals):
-    """T.81 F.2.2.3 decoder state: (mincode, maxcode, valptr, vals)."""
-    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    """Decoder state: a 16-bit-window lookup table (the r4 vectorized
+    path — one peek + one table index per symbol instead of a per-bit
+    F.2.2.3 walk). ``lut_len[w] == 0`` marks a 16-bit window that is
+    no valid code's extension (corrupt stream).  Canonical-code
+    construction per T.81 C.2; symbols and lengths live in ``bytes``
+    objects because CPython indexes them faster than numpy scalars in
+    the decode loop."""
+    lut_sym = bytearray(65536)
+    lut_len = bytearray(65536)
     code, k = 0, 0
     for length in range(1, 17):
-        n = bits[length - 1]
-        if n:
-            valptr[length] = k
-            mincode[length] = code
-            code += n
-            k += n
-            maxcode[length] = code - 1
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                # more codes than the length affords: a bytearray slice
+                # past 65536 would silently grow the table, so guard
+                # BEFORE assigning
+                raise ValueError("jfif: overfull Huffman code table")
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lut_sym[base:base + span] = bytes([vals[k]]) * span
+            lut_len[base:base + span] = bytes([length]) * span
+            k += 1
+            code += 1
         code <<= 1
-    return (mincode, maxcode, valptr, list(vals))
+    return (bytes(lut_sym), bytes(lut_len))
 
 
 class _JBitWriter:
@@ -444,57 +457,170 @@ class _JMarkerHit(Exception):
         self.marker = marker
 
 
-class _JBitReader:
-    """MSB-first bit reader over entropy-coded data; unstuffs 0xFF00 and
-    surfaces real markers as _JMarkerHit."""
+def _jsplit_scan(data: bytes, pos: int):
+    """Split one scan's entropy-coded bytes (starting at ``pos``) into
+    restart-interval segments, unstuffing 0xFF00 with numpy up front so
+    the decode loop never touches raw bytes (r4 — this replaces the
+    per-bit/per-byte Python reader, VERDICT r3 item 3).
+
+    Returns a list of segment dicts::
+
+        words:    python list, words[i] = bytes i..i+3 big-endian —
+                  any 16-bit peek is one index + shift
+        bitlen:   real payload bits (padding words beyond are zeros)
+        raw_start: file offset of the segment's first byte
+        stuff_clean: sorted clean-indices of bytes followed by a
+                  dropped stuffed 0x00 (maps clean→raw at scan end)
+        boundary: what terminated the segment —
+                  ('rst', n)  restart marker RSTn
+                  ('end', m)  any other marker m (scan is over)
+        premature: the marker a mid-decode bit-starvation surfaces as
+                  (_JMarkerHit parity with the old per-bit reader:
+                  0xFF when fill bytes precede the marker)
+    """
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff_all = np.flatnonzero(arr[pos:] == 0xFF) + pos
+    segments = []
+    seg_start = pos
+    stuffs: list[int] = []  # raw positions of dropped 0x00 bytes
+
+    def close(end: int, boundary, premature):
+        raw = arr[seg_start:end]
+        if stuffs:
+            keep = np.ones(len(raw), dtype=bool)
+            keep[np.asarray(stuffs, dtype=np.int64) - seg_start] = False
+            clean = raw[keep]
+            # clean index of each dropped 0x00's preceding 0xFF byte
+            sc = (np.asarray(stuffs, dtype=np.int64) - seg_start
+                  - 1 - np.arange(len(stuffs)))
+        else:
+            clean = raw
+            sc = np.empty(0, dtype=np.int64)
+        ext = np.concatenate([clean, np.zeros(4, dtype=np.uint8)]).astype(np.uint64)
+        words = (
+            (ext[:-3] << np.uint64(24)) | (ext[1:-2] << np.uint64(16))
+            | (ext[2:-1] << np.uint64(8)) | ext[3:]
+        ).tolist()
+        segments.append({
+            "words": words, "bitlen": len(clean) * 8, "raw_start": seg_start,
+            "stuff_clean": sc, "boundary": boundary, "premature": premature,
+            "raw_ff": end,  # offset of the 0xFF that ended the segment
+        })
+
+    i = 0
+    n_ff = len(ff_all)
+    cursor = pos
+    while True:
+        while i < n_ff and ff_all[i] < cursor:
+            i += 1
+        if i >= n_ff:
+            # entropy data runs to EOF with no terminating marker — the
+            # old reader IndexError'd here; surface the normalized error
+            raise ValueError("jfif: unterminated entropy-coded scan")
+        f = int(ff_all[i])
+        if f + 1 >= len(data):
+            raise ValueError("jfif: truncated entropy-coded scan")
+        nxt = data[f + 1]
+        if nxt == 0x00:  # stuffed data byte
+            stuffs.append(f + 1)
+            cursor = f + 2
+            continue
+        # a marker, possibly preceded by 0xFF fill bytes: mid-data the
+        # old per-bit reader surfaced the FIRST fill byte as marker 0xFF
+        fills = nxt == 0xFF
+        m = f + 1
+        while data[m] == 0xFF:
+            m += 1
+            if m >= len(data):
+                raise ValueError("jfif: truncated entropy-coded scan")
+        marker = data[m]
+        if 0xD0 <= marker <= 0xD7:
+            close(f, ("rst", marker - 0xD0), 0xFF if fills else marker)
+            seg_start = cursor = m + 1
+            stuffs = []
+            continue
+        close(f, ("end", marker), 0xFF if fills else marker)
+        return segments
+
+
+class _JFastReader:
+    """MSB-first entropy reader over _jsplit_scan segments: every
+    Huffman symbol is ONE 16-bit window peek + table lookup (T.81
+    F.2.2.3 collapsed into the canonical-code LUT built by
+    _huff_decode_table) and every magnitude read is one shift+mask —
+    no per-bit Python anywhere. Surfaces real markers as _JMarkerHit
+    exactly where the retired per-bit reader did (bit-starvation at a
+    segment boundary), so truncated-stream refinement recovery and the
+    corrupt-byte fuzz contract are unchanged."""
+
+    __slots__ = ("segs", "si", "words", "bitpos", "bitlen")
 
     def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
+        self.segs = _jsplit_scan(data, pos)
+        self.si = 0
+        seg = self.segs[0]
+        self.words = seg["words"]
+        self.bitpos = 0
+        self.bitlen = seg["bitlen"]
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    raise _JMarkerHit(nxt)
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def _starved(self):
+        raise _JMarkerHit(self.segs[self.si]["premature"])
+
+    def decode_sym(self, lut) -> int:
+        lut_sym, lut_len = lut
+        bp = self.bitpos
+        w = (self.words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+        length = lut_len[w]
+        nbp = bp + length
+        if nbp > self.bitlen or length == 0:
+            if bp + 16 > self.bitlen:
+                self._starved()  # ran into the next marker mid-symbol
+            raise ValueError("jfif: corrupt Huffman stream")
+        self.bitpos = nbp
+        return lut_sym[w]
 
     def read_bits(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
-        return v
+        if length == 0:
+            return 0
+        bp = self.bitpos
+        if bp + length > self.bitlen:
+            self._starved()
+        self.bitpos = bp + length
+        return (self.words[bp >> 3] >> (32 - (bp & 7) - length)) & (
+            (1 << length) - 1
+        )
+
+    def read_bit(self) -> int:
+        bp = self.bitpos
+        if bp >= self.bitlen:
+            self._starved()
+        self.bitpos = bp + 1
+        return (self.words[bp >> 3] >> (31 - (bp & 7))) & 1
 
     def restart(self, expect_n: int) -> None:
-        """Byte-align and consume the expected RSTn marker."""
-        self.n = 0
-        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xFF:
-            self.pos += 1  # fill bytes
-        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + expect_n:
+        """Cross the segment boundary, verifying the expected RSTn."""
+        seg = self.segs[self.si]
+        if (
+            self.bitlen - self.bitpos >= 8  # a full data byte where the
+            or seg["boundary"][0] != "rst"  # marker should be
+            or seg["boundary"][1] != expect_n
+        ):
             raise ValueError("jfif: missing restart marker")
-        self.pos += 2
+        self.si += 1
+        seg = self.segs[self.si]
+        self.words = seg["words"]
+        self.bitpos = 0
+        self.bitlen = seg["bitlen"]
 
-
-def _jhuff_decode_sym(br: _JBitReader, tab) -> int:
-    mincode, maxcode, valptr, vals = tab
-    code = br.read_bit()
-    length = 1
-    while code > maxcode[length]:
-        length += 1
-        if length > 16:
-            raise ValueError("jfif: corrupt Huffman stream")
-        code = (code << 1) | br.read_bit()
-    return vals[valptr[length] + code - mincode[length]]
+    def end_raw_pos(self) -> int:
+        """Raw file offset just past the last consumed byte — feeds the
+        caller's walk to the next marker (old reader's ``br.pos``)."""
+        seg = self.segs[self.si]
+        consumed = (self.bitpos + 7) >> 3
+        return (
+            seg["raw_start"] + consumed
+            + int(np.searchsorted(seg["stuff_clean"], consumed))
+        )
 
 
 def _jextend(v: int, s: int) -> int:
@@ -872,6 +998,130 @@ def encode_jfif(
 JFIF_MAX_PIXELS = 1 << 26
 
 
+def _jdecode_scan_seq(br, data, frame, htabs, scan, dri):
+    """Baseline-sequential scan decode, fully inlined (r4, VERDICT r3
+    item 3): the Huffman symbol + magnitude + EXTEND chain is plain
+    local-variable integer arithmetic over the _JFastReader's word
+    windows (no method calls, no numpy scalars in the loop), and
+    coefficients accumulate into python lists that scatter into each
+    component's store with ONE vectorized assignment per scan.  The
+    semantics — traversal order, DC prediction, restart resets,
+    truncation recovery (partial block kept, _JMarkerHit(EOI) returns
+    gracefully), corrupt-stream ValueErrors — replicate the generic
+    path bit for bit (pinned by the fuzz + bit-exactness tests)."""
+    interleaved = len(scan) > 1
+    mcus_x = frame["mcus_x"]
+    n_mcus = (mcus_x * frame["mcus_y"] if interleaved
+              else scan[0][0]["nbx"] * scan[0][0]["nby"])
+    nsc = len(scan)
+    comps = []
+    idxs: list[list[int]] = [[] for _ in scan]
+    vals: list[list[int]] = [[] for _ in scan]
+    for comp, td, ta in scan:
+        dsym, dlen = htabs[(0, td)]
+        asym, alen = htabs[(1, ta)]
+        comps.append((comp, comp["store"].shape[1], dsym, dlen, asym, alen))
+    zz = _JZZ_L
+    preds = [0] * nsc
+    words, bp, bitlen = br.words, br.bitpos, br.bitlen
+    rst_n = 0
+    end_marker = None
+
+    def starved():
+        raise _JMarkerHit(br.segs[br.si]["premature"])
+
+    try:
+        for mcu_i in range(n_mcus):
+            if dri and mcu_i and mcu_i % dri == 0:
+                br.bitpos = bp
+                br.restart(rst_n)
+                words, bp, bitlen = br.words, br.bitpos, br.bitlen
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * nsc
+            if interleaved:
+                my, mx = divmod(mcu_i, mcus_x)
+            for si in range(nsc):
+                comp, cols, dsym, dlen, asym, alen = comps[si]
+                if interleaved:
+                    h, v = comp["h"], comp["v"]
+                    bases = [
+                        ((my * v + by) * cols + mx * h + bx) << 6
+                        for by in range(v) for bx in range(h)
+                    ]
+                else:
+                    by, bx = divmod(mcu_i, comp["nbx"])
+                    bases = [(by * cols + bx) << 6]
+                ia, va = idxs[si].append, vals[si].append
+                pred = preds[si]
+                for base in bases:
+                    # ---- DC: symbol, magnitude, EXTEND ----
+                    w = (words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                    ln = dlen[w]
+                    if ln == 0 or bp + ln > bitlen:
+                        if bp + 16 > bitlen:
+                            starved()
+                        raise ValueError("jfif: corrupt Huffman stream")
+                    bp += ln
+                    s = dsym[w]
+                    if s:
+                        if bp + s > bitlen:
+                            starved()
+                        m = (words[bp >> 3] >> (32 - (bp & 7) - s)) & (
+                            (1 << s) - 1
+                        )
+                        bp += s
+                        pred += m - (1 << s) + 1 if m < (1 << (s - 1)) else m
+                    ia(base)
+                    va(pred)
+                    # ---- AC run-length loop ----
+                    k = 1
+                    while k <= 63:
+                        w = (words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                        ln = alen[w]
+                        if ln == 0 or bp + ln > bitlen:
+                            if bp + 16 > bitlen:
+                                starved()
+                            raise ValueError("jfif: corrupt Huffman stream")
+                        bp += ln
+                        rs = asym[w]
+                        s = rs & 15
+                        if s == 0:
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("jfif: AC index overflow")
+                        if bp + s > bitlen:
+                            starved()
+                        m = (words[bp >> 3] >> (32 - (bp & 7) - s)) & (
+                            (1 << s) - 1
+                        )
+                        bp += s
+                        ia(base + zz[k])
+                        va(m - (1 << s) + 1 if m < (1 << (s - 1)) else m)
+                        k += 1
+                preds[si] = pred
+    except _JMarkerHit as mhit:
+        if mhit.marker != 0xD9:
+            raise ValueError(
+                f"jfif: unexpected marker 0x{mhit.marker:02x} in scan")
+        end_marker = br.segs[br.si]["raw_ff"]  # truncated: main loop sees EOI
+    br.bitpos = bp
+    for si in range(nsc):
+        if idxs[si]:
+            comps[si][0]["store"].reshape(-1)[
+                np.asarray(idxs[si], dtype=np.int64)
+            ] = np.asarray(vals[si], dtype=np.int64)
+    if end_marker is not None:
+        return end_marker
+    pos = br.end_raw_pos()
+    while data[pos] != 0xFF or data[pos + 1] == 0x00:
+        pos += 1
+    return pos
+
+
 def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
     """Decode one scan's entropy-coded data into the frame's persistent
     per-component coefficient stores (T.81 F.2 sequential, G.2
@@ -894,32 +1144,14 @@ def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
             "dc_first" if ss == 0 and ah == 0 else
             "dc_refine" if ss == 0 else
             "ac_first" if ah == 0 else "ac_refine")
-    br = _JBitReader(data, pos)
+    br = _JFastReader(data, pos)
+    if mode == "seq":  # baseline hot path: fully inlined + batch scatter
+        return _jdecode_scan_seq(br, data, frame, htabs, scan, dri)
     st = {"preds": [0] * len(scan), "eobrun": 0}
     p1, m1 = 1 << al, -(1 << al)
 
-    def block_seq(zzv, si, dc_tab, ac_tab):
-        s = _jhuff_decode_sym(br, dc_tab)
-        diff = _jextend(br.read_bits(s), s) if s else 0
-        st["preds"][si] += diff
-        zzv[0] = st["preds"][si]  # _JZZ[0] == 0: DC leads the zigzag
-        k = 1
-        while k <= 63:
-            rs = _jhuff_decode_sym(br, ac_tab)
-            r, s = rs >> 4, rs & 15
-            if s == 0:
-                if r == 15:
-                    k += 16  # ZRL
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("jfif: AC index overflow")
-            zzv[_JZZ[k]] = _jextend(br.read_bits(s), s)
-            k += 1
-
     def block_dc_first(zzv, si, dc_tab):
-        s = _jhuff_decode_sym(br, dc_tab)
+        s = br.decode_sym(dc_tab)
         diff = _jextend(br.read_bits(s), s) if s else 0
         st["preds"][si] += diff
         zzv[0] = st["preds"][si] << al
@@ -936,7 +1168,7 @@ def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
             return
         k = ss
         while k <= se:
-            rs = _jhuff_decode_sym(br, ac_tab)
+            rs = br.decode_sym(ac_tab)
             r, s = rs >> 4, rs & 15
             if s == 0:
                 if r != 15:
@@ -961,7 +1193,7 @@ def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
         k = ss
         if st["eobrun"] == 0:
             while k <= se:
-                rs = _jhuff_decode_sym(br, ac_tab)
+                rs = br.decode_sym(ac_tab)
                 r, s = rs >> 4, rs & 15
                 val = 0
                 if s == 0:
@@ -1010,9 +1242,7 @@ def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
                         for bx in range(comp["h"]):
                             zzv = comp["store"][my * comp["v"] + by,
                                                 mx * comp["h"] + bx]
-                            if mode == "seq":
-                                block_seq(zzv, si, htabs[(0, td)], htabs[(1, ta)])
-                            elif mode == "dc_first":
+                            if mode == "dc_first":
                                 block_dc_first(zzv, si, htabs[(0, td)])
                             else:  # dc_refine (AC modes are single-component)
                                 block_dc_refine(zzv)
@@ -1020,9 +1250,7 @@ def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
                 comp, td, ta = scan[0]
                 by, bx = divmod(mcu_i, comp["nbx"])
                 zzv = comp["store"][by, bx]
-                if mode == "seq":
-                    block_seq(zzv, 0, htabs[(0, td)], htabs[(1, ta)])
-                elif mode == "dc_first":
+                if mode == "dc_first":
                     block_dc_first(zzv, 0, htabs[(0, td)])
                 elif mode == "dc_refine":
                     block_dc_refine(zzv)
@@ -1033,9 +1261,10 @@ def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
     except _JMarkerHit as m:
         if m.marker != 0xD9:
             raise ValueError(f"jfif: unexpected marker 0x{m.marker:02x} in scan")
-        return br.pos - 1  # truncated stream: let the main loop see EOI
+        # truncated stream: point the main loop at the EOI's 0xFF
+        return br.segs[br.si]["raw_ff"]
     # skip padding bits / stuffed bytes up to the next marker
-    pos = br.pos
+    pos = br.end_raw_pos()
     while data[pos] != 0xFF or data[pos + 1] == 0x00:
         pos += 1
     return pos

@@ -84,6 +84,7 @@ def connected_components(
     ).filter(F.col("u") != F.col("v")).distinct()
 
     prev_sig = None
+    prev_e = None
     converged = False
     for _ in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
@@ -93,9 +94,15 @@ def connected_components(
         ).first()
         sig = (row["n"], row["h"])
         if sig == prev_sig:
-            converged = True
-            break
+            # The (count, bit_xor) signature is a fast filter, not proof:
+            # two distinct consecutive edge sets could collide. Confirm the
+            # fixpoint exactly — both frames are localCheckpoint-ed distinct
+            # sets with equal counts, so one-sided exceptAll-empty ⇒ equal.
+            if e.exceptAll(prev_e).isEmpty():
+                converged = True
+                break
         prev_sig = sig
+        prev_e = e
     if not converged:
         # Falling through with a non-star edge set would silently assign
         # wrong (split / non-minimal) component ids downstream.

@@ -607,14 +607,28 @@ def _knn_auto_strategy(
     targets: DataFrame,
     broadcast_threshold: int = KNN_BROADCAST_MAX_TARGETS,
     grid_threshold: int = KNN_GRID_MAX_TARGETS,
+    n_points: int | None = None,
+    n_targets: int | None = None,
 ) -> str:
     """Density-aware physical-strategy choice for knn_join's ``auto``
     mode. Probes EACH side with exactly ONE bounded limit+count — never
     a full count over a 100-TB side, and never a second pass over a
     possibly-expensive upstream plan. The rules and their measured
     crossovers live in the KNN_* constant comments; the two-density
-    sweep in BENCH/KNN_REGIMES.md is the evidence."""
-    n_points_probe = points.limit(KNN_POINT_PROBE_CAP + 1).count()
+    sweep in BENCH/KNN_REGIMES.md is the evidence.
+
+    The probes DO execute each side's upstream plan once (bounded by
+    the limit) before the chosen join executes it again (ADVICE r3) —
+    callers with expensive derived inputs should either cache/
+    localCheckpoint them first or pass exact/approximate row counts
+    via ``n_points``/``n_targets``, which skip the probes entirely
+    (counts above the caps are clamped, so a conservative upper bound
+    is a safe hint)."""
+    n_points_probe = (
+        min(n_points, KNN_POINT_PROBE_CAP + 1)
+        if n_points is not None
+        else points.limit(KNN_POINT_PROBE_CAP + 1).count()
+    )
     # One target probe serves both comparisons (broadcast cutoff and
     # the density-ratio grid cutoff). When the point probe caps, the
     # ratio cutoff is clamped to the cap — by then the join itself
@@ -623,7 +637,11 @@ def _knn_auto_strategy(
         grid_threshold, int(KNN_GRID_TARGET_RATIO * n_points_probe)
     )
     probe_cap = max(broadcast_threshold, eff_threshold)
-    n_targets_probe = targets.limit(probe_cap + 1).count()
+    n_targets_probe = (
+        min(n_targets, probe_cap + 1)
+        if n_targets is not None
+        else targets.limit(probe_cap + 1).count()
+    )
     if (
         n_targets_probe <= broadcast_threshold
         # a saturated point probe means the true product is UNKNOWN
@@ -656,13 +674,17 @@ def knn_join(
     strategy: str = "auto",
     broadcast_threshold: int = KNN_BROADCAST_MAX_TARGETS,
     grid_threshold: int = KNN_GRID_MAX_TARGETS,
+    n_points: int | None = None,
+    n_targets: int | None = None,
 ) -> DataFrame:
     """J8 — k nearest targets per point, exact.
 
     Physical strategy selection (like Catalyst's broadcast-vs-shuffle
     join choice), three tiers probed with cheap bounded limit+counts on
     BOTH sides under ``strategy='auto'`` (density-aware since r3 — the
-    two-density sweep in BENCH/KNN_REGIMES.md is the evidence):
+    two-density sweep in BENCH/KNN_REGIMES.md is the evidence; the
+    probes re-execute expensive derived inputs once — cache them or
+    pass ``n_points``/``n_targets`` hints to skip the probes):
 
     * ``broadcast`` (≤ 100k targets AND points × targets ≤ 4e10):
       target side shipped whole, one shuffle-free map pass over the
@@ -702,7 +724,8 @@ def knn_join(
         raise ValueError(f"unknown kNN strategy {strategy!r}")
     if strategy == "auto":
         strategy = _knn_auto_strategy(
-            points, targets, broadcast_threshold, grid_threshold
+            points, targets, broadcast_threshold, grid_threshold,
+            n_points=n_points, n_targets=n_targets,
         )
     if strategy == "broadcast":
         return _knn_broadcast(

@@ -58,6 +58,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ring_cand_cells(px, py, ring: int, res: int, n: int):
+    """Candidate-cell id array for a (2·ring+1)² k-ring around (px, py)
+    on the n×n cells.py grid, matching spatial.py's kNN cover exactly:
+    x WRAPS modulo n (antimeridian — ADVICE r3: the old greatest/least
+    clamp silently dropped the far-side cells for data near ±180°),
+    y clamps at the poles (no wrap), duplicates from a ring wider than
+    the grid collapse via array_distinct."""
+    res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(px - F.lit(ring), px + F.lit(ring)),
+                lambda x: F.transform(
+                    F.sequence(
+                        F.greatest(py - F.lit(ring), F.lit(0)),
+                        F.least(py + F.lit(ring), F.lit(n - 1)),
+                    ),
+                    lambda y: res_term
+                    + F.pmod(x, F.lit(n)).cast("long") * F.lit(1 << 29).cast("long")
+                    + y,
+                ),
+            )
+        )
+    )
+
+
 def customer_points(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return c.select(
@@ -1214,35 +1240,22 @@ def _g5_aoi(octs):
     ]]
 
 
-def polygon_clip_rowsonly(spark, sf_dir):
-    """G5b — boolean overlay (A ∩ clip / A − clip) of the arithmetic
-    supplier octagons against a fixed AOI rectangle; emits ring/vertex
-    counts + shoelace area (µdeg², rounded) per supplier and op.
-    Geometry kernel — rows-only check (ring traces aren't SQL; the
-    EXACT area-conservation twin is g5c_clip_conservation, exactness
-    is also property-tested: inclusion-exclusion vs union in
-    test_geometry.py)."""
-    from ..operators import geoagg
-
-    octs = supplier_octagons(spark, sf_dir).filter(F.col("s_suppkey") <= 60)
-    clip = _g5_aoi(octs)
-    if clip is None:
-        return octs.select(
-            F.col("s_suppkey"), F.lit("x").alias("op"),
-            F.lit(0).alias("n_rings"), F.lit(0).alias("n_vertices"),
-            F.lit(0.0).alias("area_udeg2"),
-        ).limit(0)
-    outs = []
-    for op in ("intersection", "difference"):
-        cut = geoagg.clip_polygons(octs, clip, op=op)
-        area = F.aggregate(
+def _centered_shoelace_udeg2(poly_col, cx, cy):
+    """Σ signed shoelace areas over every ring of a MultiRing polygon
+    column, coordinates shifted to (cx, cy) before the cross products
+    (shifting is load-bearing: shoelace on raw lon/lat cancels ~9
+    digits — measured drift drops to ≲0.1 µdeg²). Returns deg²·1e12
+    (µdeg²) as an unrounded double. Pure Column expression."""
+    return (
+        F.aggregate(
             F.transform(
-                "polygon",
+                poly_col,
                 lambda ring: F.aggregate(
                     F.zip_with(
                         F.slice(ring, 1, F.size(ring) - 1),
                         F.slice(ring, 2, F.size(ring) - 1),
-                        lambda a, b: a[0] * b[1] - b[0] * a[1],
+                        lambda a, b: (a[0] - cx) * (b[1] - cy)
+                        - (b[0] - cx) * (a[1] - cy),
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
@@ -1250,26 +1263,101 @@ def polygon_clip_rowsonly(spark, sf_dir):
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ) * F.lit(0.5e12)
+        )
+        * F.lit(0.5e12)
+    )
+
+
+# g5b closed-form oracle (VERDICT r3 item 6 — the old rows-only trace is
+# now exact): the _g5_aoi rectangle's bottom/top/right edges all clear
+# every s_suppkey<=60 octagon by construction (y edges are octagon 1's
+# bbox ±1° against a 0.14°+0.024° data extent; the right edge is bbox
+# +2° against 0.17°+0.052°), so the overlay degenerates to a HALF-PLANE
+# cut at x0 = mnx + bbox_w/2 = cx(first octagon) = lon(min suppkey
+# ·13+7) — the scalar subquery below, NOT a hard-coded key: supplier
+# keys start at 0 in this testdata.  The
+# octagon's height profile is 2h for |t|<=w/2 then linear to h at |t|=w
+# (t = x − cx), so the area right of the cut is piecewise quadratic in
+# u = x0 − cx — closed form, checked continuous at every knot:
+#   u<=-w: 3.5hw;  -w..-w/2: 3.5hw − (h/w)(2w+u)(w+u);
+#   -w/2..w/2: 1.75hw − 2hu;  w/2..w: (h/w)(2w−u)(w−u);  u>=w: 0.
+# Empty pieces are DROPPED by the kernel (clip_polygons contract), so
+# the intersection row exists iff u<w and the difference row iff u>-w.
+# Rounded to thousands of µdeg² — float drift through the kernel is
+# ≲0.1 µdeg² (centered shoelace), and test_g5b_rounding_margin pins
+# every true value ≥ tens of µdeg² away from a rounding boundary.
+_G5B_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey,
+         {lon_sql('(s_suppkey * 13 + 7)')} AS cx,
+         CAST((s_suppkey % 13) + 2 AS DOUBLE) * 0.004 AS w,
+         CAST((s_suppkey % 7) + 2 AS DOUBLE) * 0.003 AS h
+  FROM supplier WHERE s_suppkey <= 60
+), x0 AS (
+  SELECT {lon_sql('((SELECT min(s_suppkey) FROM s) * 13 + 7)')} AS x0
+), cut AS (
+  SELECT s_suppkey, w, h, ((SELECT x0 FROM x0) - cx) AS u FROM s
+), a AS (
+  SELECT s_suppkey, w, h, u,
+    CASE WHEN u <= -w       THEN 3.5 * h * w
+         WHEN u <= -w / 2   THEN 3.5 * h * w - (h / w) * (2 * w + u) * (w + u)
+         WHEN u <= w / 2    THEN 1.75 * h * w - 2 * h * u
+         WHEN u < w         THEN (h / w) * (2 * w - u) * (w - u)
+         ELSE 0.0 END AS ainter
+  FROM cut
+)
+SELECT s_suppkey, op, CAST(1 AS INT) AS n_rings,
+       CAST(round(area * 1e12, -3) AS BIGINT) AS area_udeg2
+FROM (
+  SELECT s_suppkey, 'intersection' AS op, ainter AS area FROM a WHERE u < w
+  UNION ALL
+  SELECT s_suppkey, 'difference' AS op, 3.5 * h * w - ainter AS area
+  FROM a WHERE u > -w
+)
+"""
+
+
+@q("g5b_polygon_clip", _G5B_SQL)
+def g5b_polygon_clip(spark, sf_dir):
+    """G5b — boolean overlay (A ∩ clip / A − clip) of the arithmetic
+    supplier octagons against the _g5_aoi rectangle, which by
+    construction acts as a half-plane cut at x0 = cx(first octagon);
+    emits per-(supplier, op) piece areas (µdeg² rounded to thousands)
+    + ring count, pinned by the closed-form piecewise-quadratic oracle
+    above (EXACT since r4 — was rows-only; VERDICT r3 item 6). Every
+    half-plane cut of a convex octagon is one convex ring, so n_rings
+    is a kernel-checked constant 1. Conservation twin:
+    g5c_clip_conservation; ring/vertex traces stay property-tested in
+    test_geometry.py."""
+    from ..operators import geoagg
+
+    octs = supplier_octagons(spark, sf_dir).filter(F.col("s_suppkey") <= 60)
+    clip = _g5_aoi(octs)
+    if clip is None:
+        return octs.select(
+            F.col("s_suppkey"), F.lit("x").alias("op"),
+            F.lit(0).cast("int").alias("n_rings"),
+            F.lit(0).cast("long").alias("area_udeg2"),
+        ).limit(0)
+    cx = lon_col(F.col("s_suppkey") * 13 + 7)
+    cy = lat_col(F.col("s_suppkey") * 11 + 5)
+    outs = []
+    for op in ("intersection", "difference"):
+        cut = geoagg.clip_polygons(octs, clip, op=op)
         outs.append(
             cut.select(
                 "s_suppkey",
                 F.lit(op).alias("op"),
-                F.size("polygon").alias("n_rings"),
-                F.aggregate(
-                    F.transform("polygon", lambda r: F.size(r)),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                ).alias("n_vertices"),
-                F.round(area, 3).alias("area_udeg2"),
+                F.size("polygon").cast("int").alias("n_rings"),
+                F.round(_centered_shoelace_udeg2(F.col("polygon"), cx, cy), -3)
+                .cast("long")
+                .alias("area_udeg2"),
             )
         )
-    return outs[0].unionByName(outs[1]).orderBy("s_suppkey", "op")
+    return outs[0].unionByName(outs[1])
 
 
-_ROWS_ONLY = {
-    "g5b_polygon_clip": polygon_clip_rowsonly,
-}
+_ROWS_ONLY: dict = {}
 
 
 # ---- G5c: clip area conservation (exact oracle for the overlay
@@ -1307,59 +1395,41 @@ def g5c_clip_conservation(spark, sf_dir):
     cx = lon_col(F.col("s_suppkey") * 13 + 7)
     cy = lat_col(F.col("s_suppkey") * 11 + 5)
 
-    def centered_area(poly_col):
-        return F.aggregate(
-            F.transform(
-                poly_col,
-                lambda ring: F.aggregate(
-                    F.zip_with(
-                        F.slice(ring, 1, F.size(ring) - 1),
-                        F.slice(ring, 2, F.size(ring) - 1),
-                        lambda a, b: (a[0] - cx) * (b[1] - cy)
-                        - (b[0] - cx) * (a[1] - cy),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ) * F.lit(0.5)
-
     pieces = geoagg.clip_polygons(octs, clip, op="intersection").unionByName(
         geoagg.clip_polygons(octs, clip, op="difference")
     )
     return (
-        pieces.select("s_suppkey", centered_area(F.col("polygon")).alias("_a"))
-        .groupBy("s_suppkey")
-        .agg(
-            F.round(F.sum("_a") * F.lit(1e12), -2).cast("long").alias("area_udeg2")
+        pieces.select(
+            "s_suppkey",
+            _centered_shoelace_udeg2(F.col("polygon"), cx, cy).alias("_a"),
         )
+        .groupBy("s_suppkey")
+        .agg(F.round(F.sum("_a"), -2).cast("long").alias("area_udeg2"))
     )
 
 
-# Driver-window rotation (round 3): the driver records at most 50 of
-# the 57 registered queries, in dict order.  Rounds 1-2 left the four
-# newest SQL-oracle queries (text_stopword_ratio, a13_cell_rollup,
-# a14_cube, s11_session_window) and the three rows-only checks outside
-# that window.  Rotate seven veterans — each green (rows+schema+hash)
-# in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json — to the tail
-# so every never-driver-verified query gets a row this round; round 4
-# can rotate back.  See NOTES_r3.md.
+# Driver-window rotation: the driver records at most 50 of the 60
+# registered queries, in dict order, so ten queries per round rest on
+# selfcheck + history instead of a fresh driver row.  Round 3 rotated
+# ten twice-green veterans out so the never-driver-checked queries got
+# rows (see NOTES_r3.md); round 4 (VERDICT r3 item 1) rotates those
+# veterans BACK IN — each now green in CORRECTNESS_r01+r02 and
+# selfcheck-verified in r3 — and rests ten THRICE-green queries
+# (driver rows in r1, r2 AND r3) instead, so no query ever goes two
+# consecutive rounds without a driver row.  The r4-changed queries
+# (a3_dissolve, g5b_polygon_clip — promoted to exact oracles) and
+# every single-row query stay in the window.
 _DRIVER_TAIL = [
-    "a4_distinct",
-    "a12_union_all",
-    "g11_hex_format",
-    "f2_semi_join",
-    "s7_filenames",
-    "j3_left_join",
-    "a5_first_per_key",
-    # r3 additions (dedup_clusters, a3b_dissolve_components,
-    # g5c_clip_conservation) grew the registry to 60 — rotate three
-    # more twice-green veterans out so the head stays at 50
-    "a6_argmax",
-    "a10_nested_collect",
-    "j4_ordered_lookup",
+    "a1_envelope",
+    "a2_convex_hull",
+    "a8_linestring_assembly",
+    "a9_multilinestring",
+    "cell_encode",
+    "cell_morton",
+    "dedup_exact",
+    "f4_exists_filter",
+    "g1_round_coords",
+    "text_lang_id",
 ]
 
 
@@ -1903,30 +1973,94 @@ def g2_simplify_rdp(spark, sf_dir):
     )
 
 
-def a3_dissolve_rowsonly(spark, sf_dir):
+# a3_dissolve's exact oracle (VERDICT r3 item 6 — was rows-only): the
+# same recursive-CTE transitive closure as a3b_dissolve_components.
+# Shared because the two queries pin the SAME invariant through two
+# DIFFERENT Spark paths: a3b derives components from the overlap EDGE
+# set via the distributed connected-components operator; a3_dissolve
+# derives them from the GEOMETRY — run the buffer-union dissolve
+# kernel, then assign each supplier center to its containing dissolved
+# blob (ray-cast), so a kernel that wrongly merges or splits blobs
+# diverges from the oracle even when a3b stays green.
+_A3_COMPONENTS_SQL = f"""
+WITH RECURSIVE pts AS (
+  SELECT s_suppkey, t_lon, t_lat FROM ({SUPPLIER_POINTS_SQL}) sp
+  WHERE s_suppkey <= 40
+), sym AS (
+  SELECT a.s_suppkey AS u, b.s_suppkey AS v
+  FROM pts a JOIN pts b ON a.s_suppkey <> b.s_suppkey
+  WHERE 2.0 * 6371008.8 * asin(sqrt(least(
+          pow(sin(radians(b.t_lat - a.t_lat) / 2), 2)
+          + cos(radians(a.t_lat)) * cos(radians(b.t_lat))
+            * pow(sin(radians(b.t_lon - a.t_lon) / 2), 2),
+          1.0))) <= 800.0
+), reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+), comp AS (
+  SELECT a AS s_suppkey, least(a, min(b)) AS component FROM reach GROUP BY a
+), assigned AS (
+  SELECT p.s_suppkey,
+         CAST(coalesce(c.component, p.s_suppkey) AS BIGINT) AS component
+  FROM pts p LEFT JOIN comp c USING (s_suppkey)
+)
+SELECT s_suppkey, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+FROM assigned
+"""
+
+
+@q("a3_dissolve", _A3_COMPONENTS_SQL)
+def a3_dissolve(spark, sf_dir):
     """A3/G5 — distributed buffer-union dissolve over supplier-point
-    buffers (per-cell union kernel + tree merge); emits one row per
-    dissolved outer ring with its vertex count."""
+    buffers (per-cell union kernel + tree merge), made EXACT (r4,
+    VERDICT r3 item 6) by reading the component structure back off the
+    dissolved geometry: every supplier center lies inside exactly one
+    dissolved blob, so (member -> min member id, member count) per blob
+    must equal the transitive closure of the circle-overlap graph —
+    the recursive-CTE oracle above. The dissolve itself and the
+    membership ray-casts run through the geometry kernels; only the
+    bounded (<=40 supplier) membership table is assembled driver-side.
+    The 16-gon buffer underestimates the 400 m circle by cos(pi/16)
+    (~392 m inradius), so a center pair in (784.6 m, 800 m] could
+    overlap as circles but not as polygons — the deterministic
+    supplier layout has no pair in that band (pinned alongside the
+    rounding margins in tests/test_oracle_invariants.py).
+    Ring/vertex traces of the dissolved parts stay pinned by
+    test_geoagg_dissolve_components and the geometry property tests."""
+    import numpy as np
+
+    from .. import geometry as geom
     from ..operators import geoagg
 
     s = supplier_points(spark, sf_dir).filter(F.col("s_suppkey") <= 40)
     ring = geoagg.stop_buffer_ring_col(F.col("t_lat"), F.col("t_lon"), 400.0, steps=16)
     polys = s.select(F.array(ring).alias("polygon"))
     parts = geoagg.dissolve_polygons(polys, poly_col="polygon", cell_res=10)
-    rows = [
-        (pi, ri, len(ring_))
-        for pi, poly in enumerate(parts)
-        for ri, ring_ in enumerate(poly)
-    ]
-    if not rows:
-        return s.select(F.lit(0).alias("poly_idx"), F.lit(0).alias("ring_idx"), F.lit(0).alias("n_vertices")).limit(0)
-    return spark.createDataFrame(rows, schema="poly_idx long, ring_idx long, n_vertices long")
-
-
-# o2_toposort and g2_simplify_rdp were promoted to exact oracles above
-# (r2); a3_dissolve stays rows-only — its distributed union kernel's
-# ring traces have no SQL re-derivation (row-set contract, SURVEY §5).
-_ROWS_ONLY.update({"a3_dissolve": a3_dissolve_rowsonly})
+    centers = s.select("s_suppkey", "t_lon", "t_lat").collect()  # bounded <=40
+    schema = "s_suppkey long, component long, n_members long"
+    if not centers:
+        return spark.createDataFrame([], schema=schema)
+    members: dict[int, list[int]] = {}
+    for r in centers:
+        hit = -1  # "in no blob" stays visible as component -1 -> loud mismatch
+        for pi, poly in enumerate(parts):
+            rings = [np.asarray(rg, dtype=np.float64) for rg in poly]
+            if bool(
+                geom.points_in_polygon(
+                    np.asarray([r["t_lon"]]), np.asarray([r["t_lat"]]), rings
+                )[0]
+            ):
+                hit = pi
+                break
+        members.setdefault(hit, []).append(int(r["s_suppkey"]))
+    rows = []
+    for pi, ks in members.items():
+        comp = min(ks) if pi >= 0 else -1
+        for k in ks:
+            rows.append((k, comp, len(ks)))
+    return spark.createDataFrame(rows, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -2105,16 +2239,7 @@ def j6b_radius_join(spark, sf_dir):
         "_tcell", cells.cell_col(F.col("t_lat"), F.col("t_lon"), res)
     )
     px, py = cells.xy_col(F.col("lat"), F.col("lon"), res)
-    res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
-    cand_cells = F.flatten(
-        F.transform(
-            F.sequence(F.greatest(px - ring, F.lit(0)), F.least(px + ring, F.lit(n - 1))),
-            lambda x: F.transform(
-                F.sequence(F.greatest(py - ring, F.lit(0)), F.least(py + ring, F.lit(n - 1))),
-                lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,
-            ),
-        )
-    )
+    cand_cells = _ring_cand_cells(px, py, ring, res, n)
     probe = pts.withColumn("_tcell", F.explode(cand_cells))
     joined = probe.join(broadcast(tgt), "_tcell")
     return (
@@ -2127,38 +2252,10 @@ def j6b_radius_join(spark, sf_dir):
     )
 
 
-# ---- A3b: dissolve component structure (exact oracle for the
-# rows-only a3_dissolve — VERDICT r2 item 5) ----
-@q(
-    "a3b_dissolve_components",
-    f"""
-WITH RECURSIVE pts AS (
-  SELECT s_suppkey, t_lon, t_lat FROM ({SUPPLIER_POINTS_SQL}) sp
-  WHERE s_suppkey <= 40
-), sym AS (
-  SELECT a.s_suppkey AS u, b.s_suppkey AS v
-  FROM pts a JOIN pts b ON a.s_suppkey <> b.s_suppkey
-  WHERE 2.0 * 6371008.8 * asin(sqrt(least(
-          pow(sin(radians(b.t_lat - a.t_lat) / 2), 2)
-          + cos(radians(a.t_lat)) * cos(radians(b.t_lat))
-            * pow(sin(radians(b.t_lon - a.t_lon) / 2), 2),
-          1.0))) <= 800.0
-), reach(a, b) AS (
-  SELECT u, v FROM sym
-  UNION
-  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
-), comp AS (
-  SELECT a AS s_suppkey, least(a, min(b)) AS component FROM reach GROUP BY a
-), assigned AS (
-  SELECT p.s_suppkey,
-         CAST(coalesce(c.component, p.s_suppkey) AS BIGINT) AS component
-  FROM pts p LEFT JOIN comp c USING (s_suppkey)
-)
-SELECT s_suppkey, component,
-       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
-FROM assigned
-""",
-)
+# ---- A3b: dissolve component structure (edge-set path — the same
+# invariant as a3_dissolve, derived via connected components instead
+# of the geometry kernel; shared oracle _A3_COMPONENTS_SQL) ----
+@q("a3b_dissolve_components", _A3_COMPONENTS_SQL)
 def a3b_dissolve_components(spark, sf_dir):
     """Component structure of the a3_dissolve input under the circle
     model: suppliers whose 400 m buffer circles overlap (center
@@ -2190,16 +2287,7 @@ def a3b_dissolve_components(spark, sf_dir):
         F.col("t_lat").alias("b_lat"),
     ).withColumn("_tcell", cells.cell_col(F.col("b_lat"), F.col("b_lon"), res))
     px, py = cells.xy_col(F.col("t_lat"), F.col("t_lon"), res)
-    res_term = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
-    cand_cells = F.flatten(
-        F.transform(
-            F.sequence(F.greatest(px - ring, F.lit(0)), F.least(px + ring, F.lit(n - 1))),
-            lambda x: F.transform(
-                F.sequence(F.greatest(py - ring, F.lit(0)), F.least(py + ring, F.lit(n - 1))),
-                lambda y: res_term + x * F.lit(1 << 29).cast("long") + y,
-            ),
-        )
-    )
+    cand_cells = _ring_cand_cells(px, py, ring, res, n)
     probe = s.withColumn("_tcell", F.explode(cand_cells))
     edges = (
         probe.join(broadcast(tgt), "_tcell")

@@ -135,14 +135,20 @@ def _persist_feed(feed: dict[str, DataFrame]) -> dict[str, DataFrame]:
     from pyspark import StorageLevel
 
     cached = {}
-    for k, df in feed.items():
-        if df is None:
-            cached[k] = None
-            continue
-        cdf = df.persist(StorageLevel.MEMORY_AND_DISK)
-        cdf.count()
-        cached[k] = cdf
-    return cached
+    try:
+        for k, df in feed.items():
+            if df is None:
+                cached[k] = None
+                continue
+            cdf = df.persist(StorageLevel.MEMORY_AND_DISK)
+            cached[k] = cdf  # registered BEFORE materializing: if a later
+            cdf.count()      # count() raises, the except below unpersists
+        return cached        # every table persisted so far (no cache leak)
+    except Exception:
+        for df in cached.values():
+            if df is not None:
+                df.unpersist(blocking=False)
+        raise
 
 
 def _run_groups(feed, cfg, fmt, out_dir: str, tasks: list[tuple]) -> list[dict]:
