@@ -679,3 +679,41 @@ def test_jfif_progressive_roundtrip_psnr_gate():
     assert I.psnr(px, I.decode_jfif(data)) >= 40.0
     # alias dispatch decodes progressive bytes transparently
     assert np.array_equal(I.decode(data, "jpeg"), I.decode_jfif(data))
+
+
+def test_jfif_lane_decoder_matches_scalar():
+    """The restart-interval-parallel lane decoder (r4) must be
+    bit-exact against the inlined scalar path on every subsampling
+    mode, and must actually ENGAGE (it needs >=8 intervals, which the
+    other jfif tests' tiny fixtures never produce)."""
+    rng = np.random.default_rng(11)
+    y, x = np.mgrid[0:128, 0:128]
+    px = np.stack(
+        [(x + y) % 256, (2 * x) % 256, (3 * y) % 256], axis=-1
+    ).astype(np.uint8)
+    px = np.clip(
+        px.astype(np.int16) + rng.integers(-9, 9, px.shape), 0, 255
+    ).astype(np.uint8)
+    lanes_fn = I._jdecode_scan_seq_lanes
+    engaged = [0]
+
+    def counting(*args):
+        out = lanes_fn(*args)
+        if out is not None:
+            engaged[0] += 1
+        return out
+
+    for ss in ("444", "422", "420"):
+        for dri in (2, 4):
+            data = I.encode_jfif(px, quality=88, subsample=ss,
+                                 restart_interval=dri)
+            try:
+                I._jdecode_scan_seq_lanes = counting
+                engaged[0] = 0
+                a = I.decode_jfif(data)
+                assert engaged[0] == 1, (ss, dri)  # lane path ran
+                I._jdecode_scan_seq_lanes = lambda *ar: None  # force scalar
+                b = I.decode_jfif(data)
+            finally:
+                I._jdecode_scan_seq_lanes = lanes_fn
+            assert np.array_equal(a, b), (ss, dri)
