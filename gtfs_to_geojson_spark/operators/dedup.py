@@ -122,6 +122,30 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_buckets(
+    sig: DataFrame, n_hashes: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(bucket, id) frame from a minhash signature frame: signatures
+    banded into ``bands`` buckets of rows = n_hashes/bands consecutive
+    hashes; the band index is folded into the bucket key so bands never
+    cross-match. Shared by minhash_lsh_pairs and the scale-bench's
+    hot-bucket histogram (tools/dedup_scale_bench.py)."""
+    rows = n_hashes // bands
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),  # band index in the key: bands never cross-match
+                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_keys)).alias("bucket")
+    ).select("bucket", "id")
+
+
 def _salted_bucket_pairs(
     buckets: DataFrame,
     target_bucket_rows: int = 100_000,
@@ -235,21 +259,8 @@ def minhash_lsh_pairs(
     candidate pairs afterwards, so the wide columns never ride the
     candidate shuffle. Hot buckets are salted (and optionally capped)
     by _salted_bucket_pairs."""
-    rows = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),  # band index in the key: bands never cross-match
-                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
-            )
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*band_keys)).alias("bucket")
-    ).select("bucket", "id")
+    buckets = minhash_band_buckets(sig, n_hashes, bands, id_col)
     cand = _salted_bucket_pairs(buckets, target_bucket_rows, max_bucket_size)
     sa = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)]
