@@ -77,6 +77,15 @@ def main():
     cpus = int(cpus_env) if cpus_env else (os.cpu_count() or 8)
     n_docs = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "50000000"))
     hot_m = int(os.environ.get("SPARK_GRAFT_DEDUP_HOT", "10000"))
+    # 16 hashes / 4 bands = 4-row bands. The first 50M run used 8/4
+    # (2-row bands) and measured the accidental-pair floor directly:
+    # 2,023 extra pairs from ~2e8 single-shared-shingle doc pairs
+    # (J~=0.02; band hit 0.02^2 per band, then >=4/8 verification
+    # passed ~1e-5 of candidates). 4-row bands cut the band hit to
+    # 0.02^4 and verification to >=8/16 (~3e-10): expected accidental
+    # pairs ~0.07 over the whole corpus -> exact recovery.
+    n_hashes = int(os.environ.get("SPARK_GRAFT_DEDUP_HASHES", "16"))
+    bands = 4
     n_groups = (n_docs // 10) // 4
     docs_path = f"/tmp/spark_graft_dedup_docs_{n_docs}_{hot_m}.parquet"
 
@@ -90,16 +99,16 @@ def main():
     build_docs(spark, n_docs, hot_m, docs_path)
     docs = spark.read.parquet(docs_path)
 
-    out: dict = {"n_docs": n_docs, "hot_m": hot_m, "n_groups": n_groups, "cpus": cpus}
+    out: dict = {"n_docs": n_docs, "hot_m": hot_m, "n_groups": n_groups, "cpus": cpus, "n_hashes": n_hashes, "bands": bands}
 
     # ---- stage 1: signatures + LSH banding + salted pair join ----
-    pairs_path = f"/tmp/spark_graft_dedup_pairs_{n_docs}_{hot_m}.parquet"
+    pairs_path = f"/tmp/spark_graft_dedup_pairs_{n_docs}_{hot_m}_{n_hashes}.parquet"
     shutil.rmtree(pairs_path, ignore_errors=True)
     t0 = time.time()
     pairs = dedup.minhash_lsh_pairs(
         docs,
-        n_hashes=8,
-        bands=4,
+        n_hashes=n_hashes,
+        bands=bands,
         shingle_n=8,
         threshold=0.5,
         target_bucket_rows=TARGET_BUCKET_ROWS,
@@ -115,8 +124,8 @@ def main():
     sys.stderr.write(f"LSH: {t_lsh:.1f}s, pairs={n_pairs} (expect {out['n_pairs_expected']})\n")
 
     # ---- hot-bucket salt histogram (the salting evidence) ----
-    sig = dedup.minhash_signatures(docs, n_hashes=8, shingle_n=8)
-    buckets = dedup.minhash_band_buckets(sig, n_hashes=8, bands=4)
+    sig = dedup.minhash_signatures(docs, n_hashes=n_hashes, shingle_n=8)
+    buckets = dedup.minhash_band_buckets(sig, n_hashes=n_hashes, bands=bands)
     hot = (
         buckets.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("m"))
