@@ -19,11 +19,77 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast
 
 
-def _cos_col(a: str, b: str):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+def _cos_col(a: str, b: str, dim: int | None = None):
+    """Cosine between two array<double> columns.
+
+    ``dim=None`` uses ``aggregate``/``zip_with`` — correct for any
+    length, but Spark evaluates higher-order lambdas interpreted,
+    per element. With a known fixed ``dim`` the three folds unroll to
+    static ``element_at`` expression chains that whole-stage-codegen
+    compiles (measured ~40× on the heavy ANN run, BENCH/ROBUSTNESS.md).
+    Both variants fold strictly left-to-right, so the float64 results
+    are bit-identical; callers must pass the TRUE array length (a
+    shorter array would turn ``element_at`` null)."""
+    if dim is None:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return dot / (na * nb)
+    ea = [F.element_at(a, i + 1) for i in range(dim)]
+    eb = [F.element_at(b, i + 1) for i in range(dim)]
+    dot, sa, sb = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+    for i in range(dim):
+        dot = dot + ea[i] * eb[i]
+        sa = sa + ea[i] * ea[i]
+        sb = sb + eb[i] * eb[i]
+    return dot / (F.sqrt(sa) * F.sqrt(sb))
+
+
+def _partial_topk_kernel(k: int, q_col: str, i_col: str):
+    """Per-partition running top-k (mapInPandas). State is at most
+    |Q|·k rows; each Arrow batch is merged into it and re-selected, so
+    a partition streams through without ever materializing all its
+    candidate rows at once."""
+
+    def fn(batches):
+        kept = None
+        for pdf in batches:
+            cur = pdf if kept is None else pd.concat((kept, pdf), ignore_index=True)
+            # Spark DESC sorts NaN above every real value; map NaN to
+            # +inf so the numpy sort agrees bit-for-bit with the window
+            key = cur["cosine"].to_numpy(dtype=np.float64, copy=True)
+            key[np.isnan(key)] = np.inf
+            cur = cur.assign(_key=-key).sort_values(["_key", i_col], kind="mergesort")
+            kept = cur.groupby(q_col, sort=False).head(k).drop(columns="_key")
+        if kept is not None and len(kept):
+            yield kept
+
+    return fn
+
+
+def _topk_select(scored: DataFrame, k: int, q_id: str, id_col: str, partial: bool) -> DataFrame:
+    """Exact top-k per query over scored candidate rows.
+
+    ``partial=True`` (default) pre-selects top-k per *input partition*
+    in one Arrow pass before the global window, so the shuffle carries
+    ≤ partitions·|Q|·k survivor rows instead of every candidate — the
+    difference between shuffling ~10⁸ scored rows and ~10⁶ at heavy
+    fan-out (see tools/ann_scale_bench.py). Selection key is identical
+    to the window's (cosine DESC with Spark's NaN-greatest semantics,
+    id ASC), so the result is bit-identical to the plain-window plan.
+    Precondition: non-null cosine (null embedding elements would sort
+    differently from NaN; all engine sources guarantee non-null)."""
+    cand = scored.select(q_id, id_col, "cosine")
+    if partial:
+        cand = cand.mapInPandas(_partial_topk_kernel(k, q_id, id_col), cand.schema)
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(q_id, F.col(id_col), F.round("cosine", 6).alias("cosine"), F.col("_rn").alias("rank"))
+    )
 
 
 def brute_force_topk(
@@ -34,19 +100,18 @@ def brute_force_topk(
     vec_col: str = "embedding",
     q_id: str = "q_id",
     q_vec: str = "q_vec",
+    partial_topk: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector; ties broken by id.
     Queries are broadcast (small side), so the scan of the big
-    embedding table is a single map-side pass — no shuffle until the
-    per-query top-k window on k·|Q| rows."""
+    embedding table is a single map-side pass; per-partition partial
+    top-k (``_topk_select``) keeps the only shuffle at survivor size
+    instead of |emb|·|Q| scored rows. Pass the embedding ``dim`` to
+    unroll the cosine into codegen (bit-identical, ~40× — _cos_col)."""
     joined = emb.crossJoin(broadcast(queries))
-    scored = joined.withColumn("cosine", _cos_col(vec_col, q_vec))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(q_id, F.col(id_col), F.round("cosine", 6).alias("cosine"), F.col("_rn").alias("rank"))
-    )
+    scored = joined.withColumn("cosine", _cos_col(vec_col, q_vec, dim))
+    return _topk_select(scored, k, q_id, id_col, partial_topk)
 
 
 def ivf_assign_udf(centroids: np.ndarray):
@@ -128,6 +193,8 @@ def ivf_topk(
     q_id: str = "q_id",
     q_vec: str = "q_vec",
     train_iters: int = 0,
+    partial_topk: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN: exact cosine, restricted to the n_probe
     nearest centroid buckets per query. Approximate (recall < 1 when
@@ -153,10 +220,5 @@ def ivf_topk(
 
     q = queries.withColumn("_bucket", F.explode(probe(F.col(q_vec))))
     joined = bucketed.join(broadcast(q), "_bucket")
-    scored = joined.withColumn("cosine", _cos_col(vec_col, q_vec))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(q_id, F.col(id_col), F.round("cosine", 6).alias("cosine"), F.col("_rn").alias("rank"))
-    )
+    scored = joined.withColumn("cosine", _cos_col(vec_col, q_vec, dim))
+    return _topk_select(scored, k, q_id, id_col, partial_topk)

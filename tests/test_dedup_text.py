@@ -157,6 +157,45 @@ def test_brute_force_topk_exact(emb):
     assert list(r1["vec_id"])[:2] == [0, 1]  # self then scaled copy (cos=1, id-tiebreak)
 
 
+def test_partial_topk_identical_to_window(spark, emb):
+    """The per-partition partial top-k pre-selection must be
+    bit-identical to the plain-window plan, including cosine ties
+    (exact-direction duplicates in the fixture) and across an input
+    split into many small partitions (so the local/global merge
+    actually exercises multi-partition state)."""
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scattered = emb.repartition(13)
+    for fn in (similarity.brute_force_topk, similarity.ivf_topk):
+        a = (
+            fn(scattered, queries, k=4, partial_topk=True)
+            .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            fn(scattered, queries, k=4, partial_topk=False)
+            .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_unrolled_cosine_bit_identical(spark, emb):
+    """The dim-unrolled codegen cosine must produce BIT-identical
+    float64 values to the aggregate/zip_with fold (same left-to-right
+    summation order), so top-k results and oracle hashes are unchanged."""
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    joined = emb.crossJoin(F.broadcast(queries))
+    a = joined.select(
+        "vec_id", "q_id", similarity._cos_col("embedding", "q_vec").alias("c")
+    ).toPandas().sort_values(["q_id", "vec_id"])
+    b = joined.select(
+        "vec_id", "q_id", similarity._cos_col("embedding", "q_vec", dim=16).alias("c")
+    ).toPandas().sort_values(["q_id", "vec_id"])
+    assert (a["c"].to_numpy() == b["c"].to_numpy()).all()  # bit-equal, no tolerance
+
+
 def test_ivf_recall_against_brute(emb):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
