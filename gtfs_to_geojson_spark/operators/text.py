@@ -21,6 +21,17 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _emit(docs: DataFrame, id_col: str, cols: list[Column], append: bool) -> DataFrame:
+    """``append=False`` (default): project to (id, features) — the
+    oracle-checked shape. ``append=True``: keep every input column and
+    add the features, so a pipeline can chain all text ops in ONE scan
+    (each op is pure-Column, so the composition stays a single map
+    stage — no joins, no shuffle; tools/text_scale_bench.py)."""
+    if append:
+        return docs.select("*", *cols)
+    return docs.select(F.col(id_col), *cols)
+
+
 def _count_occurrences(text: Column, needle: str) -> Column:
     """Occurrences of a literal substring — (len(x) − len(replace(x,
     needle, ''))) / len(needle); identical formula in SQL."""
@@ -37,7 +48,9 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", append: bool = False
+) -> DataFrame:
     """Predicted language = argmax marker-hit count, deterministic
     tie-break on language code (greatest-of-structs trick, JVM-side)."""
     scores = lang_scores(F.col(text_col))
@@ -46,14 +59,20 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         for i, (lang, s) in enumerate(sorted(scores.items()))
     ]
     best = F.greatest(*structs)
-    return docs.select(
-        F.col(id_col),
-        best["lang"].alias("pred_lang"),
-        best["score"].cast("double").alias("pred_score"),
+    return _emit(
+        docs,
+        id_col,
+        [
+            best["lang"].alias("pred_lang"),
+            best["score"].cast("double").alias("pred_score"),
+        ],
+        append,
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", append: bool = False
+) -> DataFrame:
     """Heuristic quality features + composite score: length, word
     count, mean word length, punctuation ratio, stopword ratio,
     uppercase ratio. Everything regexp/length arithmetic — codegen."""
@@ -74,31 +93,44 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         - F.least(upper_ratio * 2, F.lit(0.3))
         + F.least(stop_ratio, F.lit(0.3))
     )
-    return docs.select(
-        F.col(id_col),
-        n_chars.cast("long").alias("n_chars"),
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"),
+    return _emit(
+        docs,
+        id_col,
+        [
+            n_chars.cast("long").alias("n_chars"),
+            n_words.cast("long").alias("n_words"),
+            F.round(mean_wlen, 4).alias("mean_word_len"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(score, 6).alias("quality"),
+        ],
+        append,
     )
 
 
-def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def token_count(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", append: bool = False
+) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy (runs of letters /
     digits / single other chars) — both as pure regexp Columns."""
     t = F.col(text_col)
     ws = F.size(F.split(F.trim(t), r"\s+"))
     bpe_ish = F.size(F.regexp_extract_all(t, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1))
-    return docs.select(
-        F.col(id_col),
-        ws.cast("long").alias("ws_tokens"),
-        bpe_ish.cast("long").alias("bpe_ish_tokens"),
+    return _emit(
+        docs,
+        id_col,
+        [ws.cast("long").alias("ws_tokens"), bpe_ish.cast("long").alias("bpe_ish_tokens")],
+        append,
     )
 
 
-def fingerprint(docs: DataFrame, shingle_n: int = 8, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def fingerprint(
+    docs: DataFrame,
+    shingle_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
     """Document fingerprint = min md5 over rolling character shingles
     (winnowing-style min-sampling, engine-stable md5 so the oracle
     reproduces it)."""
@@ -107,9 +139,11 @@ def fingerprint(docs: DataFrame, shingle_n: int = 8, text_col: str = "text", id_
         F.sequence(F.lit(1), F.greatest(F.length(s) - shingle_n + 1, F.lit(1))),
         lambda i: s.substr(i, F.lit(shingle_n)),
     )
-    return docs.select(
-        F.col(id_col),
-        F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("fingerprint"),
+    return _emit(
+        docs,
+        id_col,
+        [F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("fingerprint")],
+        append,
     )
 
 

@@ -122,6 +122,27 @@ def test_quality_and_tokens(docs):
     assert t.loc[7, "ws_tokens"] == 3
 
 
+def test_text_ops_append_chain_single_pass(docs):
+    """append=True keeps input columns so all text ops chain in one
+    scan; the appended features must equal the projected defaults."""
+    chained = text.fingerprint(
+        text.token_count(
+            text.quality_score(text.lang_id(docs, append=True), append=True),
+            append=True,
+        ),
+        append=True,
+    ).toPandas().set_index("doc_id")
+    assert "text" in chained.columns  # input survived the chain
+    for op, col in (
+        (text.lang_id, "pred_lang"),
+        (text.quality_score, "quality"),
+        (text.token_count, "ws_tokens"),
+        (text.fingerprint, "fingerprint"),
+    ):
+        solo = op(docs).toPandas().set_index("doc_id")
+        assert (chained[col] == solo[col]).all(), col
+
+
 def test_fingerprint_matches_dups(docs):
     fp = text.fingerprint(docs).toPandas().set_index("doc_id")
     assert fp.loc[0, "fingerprint"] == fp.loc[1, "fingerprint"]
