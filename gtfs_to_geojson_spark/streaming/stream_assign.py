@@ -129,6 +129,52 @@ def run_stream_to_parquet(
     return q
 
 
+def stream_decode_tile_assignments(
+    spark: SparkSession, input_dir: str, res: int = 14, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming J9c: the full-integrity decode→verify→assign chain
+    (`multimodal.decode_tile_assign` — Arrow-batched pixel decode, phash
+    / PSNR verification, tile assignment) behind ``readStream``. The
+    operator is stream/batch agnostic (mapInPandas is stateless per
+    row), so this is the identical kernel the batch bench times as
+    j9c_decode_tile_assign. Caption is projected out before the sink:
+    the stream's deliverable is (assignment, verification verdict), and
+    keeping the sink narrow keeps a decode-bound drain decode-bound."""
+    from ..operators.multimodal import decode_tile_assign
+
+    return decode_tile_assign(
+        stream_images(spark, input_dir, max_files_per_trigger), res=res
+    ).select("image_id", "tile", "phash_match")
+
+
+def run_decode_stream_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    res: int = 14,
+    timeout_s: float | None = None,
+    max_files_per_trigger: int = 8,
+):
+    """Decode-verify-assign stream → parquet sink, exactly-once via the
+    checkpoint's processed-files log (same contract as
+    run_stream_to_parquet; the per-row work is ~100× heavier)."""
+    assigned = stream_decode_tile_assignments(
+        spark, input_dir, res, max_files_per_trigger
+    )
+    q = (
+        assigned.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout_s is not None:
+        q.awaitTermination(timeout_s)
+    return q
+
+
 def stream_dedup_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     cross-micro-batch exact dedup by phash — the streaming twin of

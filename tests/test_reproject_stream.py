@@ -195,6 +195,49 @@ def test_streaming_tile_assignment_resumes(spark, images_pd, tmp_path):
     assert np.array_equal(got["tile"].to_numpy(), cells.encode(lat, lon, 14))
 
 
+def test_streaming_decode_tile_assign_matches_batch(spark, images_pd, tmp_path):
+    """Streaming J9c (decode→verify→assign behind readStream) emits
+    exactly the batch operator's rows: same verification verdicts, same
+    tiles, exactly once across a two-drop restart."""
+    from gtfs_to_geojson_spark.operators.multimodal import decode_tile_assign
+    from gtfs_to_geojson_spark.streaming.stream_assign import (
+        run_decode_stream_to_parquet,
+    )
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    os.makedirs(in_dir)
+    half = len(images_pd) // 2
+    images_pd.iloc[:half].to_parquet(in_dir / "drop1.parquet", index=False)
+    q = run_decode_stream_to_parquet(
+        spark, str(in_dir), str(out_dir), str(ckpt), timeout_s=120
+    )
+    q.stop()
+    images_pd.iloc[half:].to_parquet(in_dir / "drop2.parquet", index=False)
+    q2 = run_decode_stream_to_parquet(
+        spark, str(in_dir), str(out_dir), str(ckpt), timeout_s=120
+    )
+    q2.stop()
+
+    got = (
+        spark.read.parquet(str(out_dir))
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        decode_tile_assign(spark.createDataFrame(images_pd), res=14)
+        .select("image_id", "tile", "phash_match")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(images_pd)  # exactly once across the restart
+    assert got["image_id"].equals(want["image_id"])
+    assert got["tile"].equals(want["tile"])
+    assert got["phash_match"].equals(want["phash_match"])
+    assert bool(want["phash_match"].all())  # fixture bytes are clean
+
+
 def test_streaming_windowed_counts_watermark(spark, images_pd, tmp_path):
     """Watermarked windowed agg in append mode: only windows the
     watermark has passed are emitted, and their counts equal a batch
