@@ -457,16 +457,22 @@ class _JMarkerHit(Exception):
         self.marker = marker
 
 
-def _jsplit_scan(data: bytes, pos: int):
+def _jsplit_scan(data: bytes, pos: int, ff_all: np.ndarray | None = None):
     """Split one scan's entropy-coded bytes (starting at ``pos``) into
     restart-interval segments, unstuffing 0xFF00 with numpy up front so
     the decode loop never touches raw bytes (r4 — this replaces the
     per-bit/per-byte Python reader, VERDICT r3 item 3).
 
+    ``ff_all``: precomputed sorted 0xFF offsets for the WHOLE file —
+    pass it when decoding multi-scan (progressive) streams so the
+    marker sweep runs once per file instead of once per scan.
+
     Returns a list of segment dicts::
 
-        words:    python list, words[i] = bytes i..i+3 big-endian —
-                  any 16-bit peek is one index + shift
+        words:    lazy (built by _seg_words on first scalar access):
+                  words[i] = clean bytes i..i+3 big-endian — any
+                  16-bit peek is one index + shift; the lanes path
+                  decodes from ``clean`` and never builds this
         bitlen:   real payload bits (padding words beyond are zeros)
         raw_start: file offset of the segment's first byte
         stuff_clean: sorted clean-indices of bytes followed by a
@@ -479,7 +485,11 @@ def _jsplit_scan(data: bytes, pos: int):
                   0xFF when fill bytes precede the marker)
     """
     arr = np.frombuffer(data, dtype=np.uint8)
-    ff_all = np.flatnonzero(arr[pos:] == 0xFF) + pos
+    if ff_all is None:
+        ff_all = np.flatnonzero(arr[pos:] == 0xFF) + pos
+        i = 0
+    else:
+        i = int(np.searchsorted(ff_all, pos))
     segments = []
     seg_start = pos
     stuffs: list[int] = []  # raw positions of dropped 0x00 bytes
@@ -496,19 +506,13 @@ def _jsplit_scan(data: bytes, pos: int):
         else:
             clean = raw
             sc = np.empty(0, dtype=np.int64)
-        ext = np.concatenate([clean, np.zeros(4, dtype=np.uint8)]).astype(np.uint64)
-        words = (
-            (ext[:-3] << np.uint64(24)) | (ext[1:-2] << np.uint64(16))
-            | (ext[2:-1] << np.uint64(8)) | ext[3:]
-        ).tolist()
         segments.append({
-            "words": words, "clean": clean, "bitlen": len(clean) * 8,
+            "words": None, "clean": clean, "bitlen": len(clean) * 8,
             "raw_start": seg_start, "stuff_clean": sc, "boundary": boundary,
             "premature": premature,
             "raw_ff": end,  # offset of the 0xFF that ended the segment
         })
 
-    i = 0
     n_ff = len(ff_all)
     cursor = pos
     while True:
@@ -544,6 +548,24 @@ def _jsplit_scan(data: bytes, pos: int):
         return segments
 
 
+def _seg_words(seg: dict) -> list:
+    """Materialize (and cache) a segment's scalar-side word table:
+    words[i] = clean bytes i..i+3 big-endian. Lazy because the lanes
+    path decodes straight from ``clean`` — building one boxed int per
+    scan byte as unused fallback insurance cost ~40 bytes/byte of
+    allocation traffic on the fast path (r4 review finding)."""
+    w = seg["words"]
+    if w is None:
+        ext = np.concatenate(
+            [seg["clean"], np.zeros(4, dtype=np.uint8)]
+        ).astype(np.uint64)
+        w = seg["words"] = (
+            (ext[:-3] << np.uint64(24)) | (ext[1:-2] << np.uint64(16))
+            | (ext[2:-1] << np.uint64(8)) | ext[3:]
+        ).tolist()
+    return w
+
+
 class _JFastReader:
     """MSB-first entropy reader over _jsplit_scan segments: every
     Huffman symbol is ONE 16-bit window peek + table lookup (T.81
@@ -554,15 +576,23 @@ class _JFastReader:
     segment boundary), so truncated-stream refinement recovery and the
     corrupt-byte fuzz contract are unchanged."""
 
-    __slots__ = ("segs", "si", "words", "bitpos", "bitlen")
+    __slots__ = ("segs", "si", "_words", "bitpos", "bitlen")
 
-    def __init__(self, data: bytes, pos: int):
-        self.segs = _jsplit_scan(data, pos)
+    def __init__(self, data: bytes, pos: int, ff_all: np.ndarray | None = None):
+        self.segs = _jsplit_scan(data, pos, ff_all)
         self.si = 0
-        seg = self.segs[0]
-        self.words = seg["words"]
+        self._words = None  # materialized on first scalar access
         self.bitpos = 0
-        self.bitlen = seg["bitlen"]
+        self.bitlen = self.segs[0]["bitlen"]
+
+    @property
+    def words(self) -> list:
+        # per-segment lazy: the lanes path never touches this, and the
+        # scalar path re-reads it once per segment (cached by _seg_words)
+        w = self._words
+        if w is None:
+            w = self._words = _seg_words(self.segs[self.si])
+        return w
 
     def _starved(self):
         raise _JMarkerHit(self.segs[self.si]["premature"])
@@ -570,7 +600,10 @@ class _JFastReader:
     def decode_sym(self, lut) -> int:
         lut_sym, lut_len = lut
         bp = self.bitpos
-        w = (self.words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+        words = self._words
+        if words is None:
+            words = self._words = _seg_words(self.segs[self.si])
+        w = (words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
         length = lut_len[w]
         nbp = bp + length
         if nbp > self.bitlen or length == 0:
@@ -587,7 +620,10 @@ class _JFastReader:
         if bp + length > self.bitlen:
             self._starved()
         self.bitpos = bp + length
-        return (self.words[bp >> 3] >> (32 - (bp & 7) - length)) & (
+        words = self._words
+        if words is None:
+            words = self._words = _seg_words(self.segs[self.si])
+        return (words[bp >> 3] >> (32 - (bp & 7) - length)) & (
             (1 << length) - 1
         )
 
@@ -596,7 +632,10 @@ class _JFastReader:
         if bp >= self.bitlen:
             self._starved()
         self.bitpos = bp + 1
-        return (self.words[bp >> 3] >> (31 - (bp & 7))) & 1
+        words = self._words
+        if words is None:
+            words = self._words = _seg_words(self.segs[self.si])
+        return (words[bp >> 3] >> (31 - (bp & 7))) & 1
 
     def restart(self, expect_n: int) -> None:
         """Cross the segment boundary, verifying the expected RSTn."""
@@ -609,7 +648,7 @@ class _JFastReader:
             raise ValueError("jfif: missing restart marker")
         self.si += 1
         seg = self.segs[self.si]
-        self.words = seg["words"]
+        self._words = None
         self.bitpos = 0
         self.bitlen = seg["bitlen"]
 
@@ -1141,7 +1180,11 @@ def _jdecode_scan_seq_lanes(br, data, frame, htabs, scan, dri):
         packed = lut[((2 * si + is_dc) << 16) | w]
         ln = packed >> 8
         sym = packed & 255
-        s = sym & 15          # == sym for DC (validated <= 15 above)
+        # widen before shifting: the packed LUT is int16, and at the
+        # maximum magnitude category s == 15 both ``1 << s`` (the
+        # EXTEND threshold) and ``(1 << s) - 1`` (the mask) overflow
+        # int16 — EXTEND would silently never fire for m < 16384
+        s = (sym & 15).astype(np.int64)  # == sym for DC (validated <= 15 above)
         # magnitude bits from the SAME window (s == 0 lanes read nothing)
         m = (wv >> (56 - off - ln - s)) & ((1 << s) - 1)
         bp = bp + ln + s
@@ -1334,7 +1377,8 @@ def _jdecode_scan_seq(br, data, frame, htabs, scan, dri):
     return pos
 
 
-def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
+def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri,
+                  ff_all: np.ndarray | None = None):
     """Decode one scan's entropy-coded data into the frame's persistent
     per-component coefficient stores (T.81 F.2 sequential, G.2
     progressive). Returns the byte offset of the next marker. ``scan``
@@ -1356,7 +1400,7 @@ def _jdecode_scan(data, pos, frame, htabs, scan, ss, se, ah, al, dri):
             "dc_first" if ss == 0 and ah == 0 else
             "dc_refine" if ss == 0 else
             "ac_first" if ah == 0 else "ac_refine")
-    br = _JFastReader(data, pos)
+    br = _JFastReader(data, pos, ff_all)
     if mode == "seq":
         # restart-parallel numpy lanes when the stream has intervals,
         # else the inlined scalar hot path
@@ -1503,6 +1547,9 @@ def decode_jfif(data: bytes) -> np.ndarray:
     frame = None
     dri = 0
     nscans = 0
+    # one 0xFF sweep for the whole file: progressive streams have many
+    # scans and each _jsplit_scan call would otherwise re-scan the tail
+    ff_all = np.flatnonzero(np.frombuffer(data, dtype=np.uint8) == 0xFF)
     while True:
         if data[pos] != 0xFF:
             raise ValueError("jfif: expected marker")
@@ -1624,7 +1671,7 @@ def decode_jfif(data: bytes) -> np.ndarray:
             ahl = payload[3 + 2 * ns]
             pos += ln
             pos = _jdecode_scan(data, pos, frame, htabs, scan,
-                                ss, se, ahl >> 4, ahl & 15, dri)
+                                ss, se, ahl >> 4, ahl & 15, dri, ff_all)
             nscans += 1
             continue
         pos += ln

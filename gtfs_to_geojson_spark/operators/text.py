@@ -28,6 +28,15 @@ def _emit(docs: DataFrame, id_col: str, cols: list[Column], append: bool) -> Dat
     (each op is pure-Column, so the composition stays a single map
     stage — no joins, no shuffle; tools/text_scale_bench.py)."""
     if append:
+        # fail fast on name collisions: select("*", dup) would create a
+        # duplicate column that only errors (AMBIGUOUS_REFERENCE) at
+        # first downstream use, far from the cause (r4 review finding)
+        clash = set(docs.select(*cols).columns) & set(docs.columns)
+        if clash:
+            raise ValueError(
+                f"append=True would duplicate existing column(s) {sorted(clash)}; "
+                "drop or rename them first"
+            )
         return docs.select("*", *cols)
     return docs.select(F.col(id_col), *cols)
 

@@ -143,6 +143,14 @@ def test_text_ops_append_chain_single_pass(docs):
         assert (chained[col] == solo[col]).all(), col
 
 
+def test_text_ops_append_rejects_duplicate_columns(docs):
+    """Appending the same op twice must fail fast at the call site,
+    not as an AMBIGUOUS_REFERENCE at first downstream use."""
+    once = text.quality_score(docs, append=True)
+    with pytest.raises(ValueError, match="duplicate"):
+        text.quality_score(once, append=True)
+
+
 def test_fingerprint_matches_dups(docs):
     fp = text.fingerprint(docs).toPandas().set_index("doc_id")
     assert fp.loc[0, "fingerprint"] == fp.loc[1, "fingerprint"]

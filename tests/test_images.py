@@ -526,6 +526,80 @@ def test_jfif_grayscale_single_component_decode():
     assert I.psnr(np.stack([gray] * 3, -1).astype(np.uint8), back) >= 40.0
 
 
+def test_jfif_lane_decoder_max_magnitude_category():
+    """s == 15 magnitudes (T.81 maximum) through the lane decoder:
+    the packed LUT is int16, so an un-widened ``1 << s`` overflows and
+    silently skips EXTEND for m < 16384 (r4 review finding — lanes
+    would emit +m instead of m − 32767 with no fallback). Our encoder
+    never emits s > 11 for 8-bit samples, so the stream is assembled
+    by hand: a DC table carrying categories 0..15, one block per
+    restart interval (16 intervals engages the lane path)."""
+    import struct as _s
+
+    # DC magnitudes covering both EXTEND branches at s in {13,14,15}
+    dcs = [0, -32767, 16384, 32767, -16384, -8192, 8191, -100,
+           100, 3, -3, 0, 1, -1, 5000, -5000]
+    dc_bits = [0] * 16
+    dc_bits[4] = 16  # 16 canonical codes of length 5: symbols 0..15
+    dc_vals = list(range(16))
+    dc_tab = I._huff_encode_table(dc_bits, dc_vals)
+    ac_tab = I._huff_encode_table(*I._JH_AC_LUMA)
+
+    chunks = []
+    for dc in dcs:
+        bw = I._JBitWriter()
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = dc
+        I._jencode_block(bw, zz, dc_tab, ac_tab, 0)  # pred resets per RST
+        bw.byte_align()
+        chunks.append(bytes(bw.out))
+    entropy = b"".join(
+        c + (bytes([0xFF, 0xD0 + i % 8]) if i < len(dcs) - 1 else b"")
+        for i, c in enumerate(chunks)
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # flat quant = 1
+    out += seg(0xC0, bytes([8]) + _s.pack(">HH", 8, 128) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    bits, vals = I._JH_AC_LUMA
+    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+    out += seg(0xDD, _s.pack(">H", 1))  # DRI = 1 MCU per interval
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy + b"\xff\xd9"
+    data = bytes(out)
+
+    lanes_fn = I._jdecode_scan_seq_lanes
+    engaged = [0]
+
+    def counting(*args):
+        r = lanes_fn(*args)
+        if r is not None:
+            engaged[0] += 1
+        return r
+
+    try:
+        I._jdecode_scan_seq_lanes = counting
+        a = I.decode_jfif(data)
+        assert engaged[0] == 1  # the lane path actually ran
+        I._jdecode_scan_seq_lanes = lambda *ar: None  # force scalar
+        b = I.decode_jfif(data)
+    finally:
+        I._jdecode_scan_seq_lanes = lanes_fn
+    assert np.array_equal(a, b)
+    # saturated blocks pin the EXTEND sign explicitly (DC-only block
+    # decodes to a constant dc/8 + 128, clipped): dc=-32767 -> black,
+    # dc=+16384 -> white; the buggy lane path flipped block 1 to gray
+    # (EXTEND skipped: coefficient 0) and block 4 to white (+16383)
+    assert (a[:, 8:16] == 0).all()      # dc -32767 (s=15, m=0)
+    assert (a[:, 16:24] == 255).all()   # dc +16384 (s=15, no EXTEND)
+    assert (a[:, 32:40] == 0).all()     # dc -16384 (s=15, EXTEND)
+    assert (a[:, 40:48] == 0).all()     # dc -8192  (s=14, EXTEND)
+
+
 def test_jfif_fill_bytes_before_markers():
     """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
     marker; a conformant decoder must skip them (r3 review finding)."""
