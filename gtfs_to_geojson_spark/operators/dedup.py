@@ -334,29 +334,30 @@ def simhash_signatures(
     return acc.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_pairs(
-    docs: DataFrame,
+def signature_near_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str,
     max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
     n_bands: int = 4,
     target_bucket_rows: int = 100_000,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit simhash, banded into n_bands
-    16-bit chunks; pairs agreeing on ≥1 band (pigeonhole: hamming ≤
-    n_bands−1 guarantees a shared band) verified with exact
-    popcount ≤ max_hamming via ``bit_count``.
+    """Banded Hamming near-pairs over ANY 64-bit signature column
+    (simhash, image phash, audio fingerprint): the signature is split
+    into n_bands equal bit-chunks; pairs agreeing on ≥1 band
+    (pigeonhole: hamming ≤ n_bands−1 guarantees a shared band) are
+    verified with exact popcount ≤ max_hamming via ``bit_count``.
+    For max_hamming ≤ n_bands−1 the result is therefore EXACT — equal
+    to the brute-force all-pairs filter — without the O(n²) join.
 
     Candidate generation rides _salted_bucket_pairs (ids-only shuffle,
     hot buckets salted / optionally capped — VERDICT r1); the band
     index is folded into the bucket key so bands never cross-match."""
-    sh = simhash_signatures(docs, text_col, id_col).select(
-        F.col(id_col), "simhash"
-    )
+    sh = sigs.select(F.col(id_col), F.col(sig_col).alias("_sig"))
     width = 64 // n_bands
     band_keys = [
-        F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+        F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(
             F.lit((1 << width) - 1)
         )
         + F.lit(b << (width + 1))  # disjoint key range per band
@@ -367,11 +368,55 @@ def simhash_near_pairs(
     ).select("bucket", "id")
     cand = _salted_bucket_pairs(buckets, target_bucket_rows, max_bucket_size)
     return (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("sh_b")), "id_b")
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    target_bucket_rows: int = 100_000,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash banded into n_bands
+    chunks, exact-popcount verified (see signature_near_pairs)."""
+    sh = simhash_signatures(docs, text_col, id_col)
+    return signature_near_pairs(
+        sh, "simhash", id_col,
+        max_hamming=max_hamming, n_bands=n_bands,
+        target_bucket_rows=target_bucket_rows, max_bucket_size=max_bucket_size,
+    )
+
+
+def phash_near_pairs(
+    images: DataFrame,
+    max_hamming: int = 3,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    n_bands: int = 4,
+    target_bucket_rows: int = 100_000,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over an image table of the
+    input-hint shape (image_id, bytes, w, h, fmt, caption, phash) —
+    the image-payload twin of simhash_near_pairs. The 64-bit phash is
+    already a Hamming-metric fingerprint (images.phash64: 8×8 DCT
+    sign-of-AC), so near-dup detection is the banded signature join
+    directly on the stored column: no pixel decode, no Python, and an
+    ids+longs-only shuffle — at 10^12 images the candidate generator
+    never touches the binary column. With max_hamming ≤ n_bands−1 the
+    pigeonhole guarantee makes the result exact (not approximate)."""
+    return signature_near_pairs(
+        images, phash_col, id_col,
+        max_hamming=max_hamming, n_bands=n_bands,
+        target_bucket_rows=target_bucket_rows, max_bucket_size=max_bucket_size,
     )
 
 

@@ -924,6 +924,50 @@ def simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=12)
 
 
+# ---- image phash near-dup (banded Hamming over the input-hint phash
+# column; dedup.phash_near_pairs). The synthetic phash plants near-dup
+# groups the same way j9 plants geotags: base = md5-derived 64-bit of
+# the group key (doc_id % 120), then one planted bit flip at
+# (doc_id % 63) — within-group pairs have hamming ∈ {0, 2}, cross-group
+# pairs ~32. max_hamming=2 ≤ n_bands−1=3, so the pigeonhole guarantee
+# makes the banded result EXACT and the oracle is the honest
+# brute-force all-pairs filter (stronger than replicating the bands).
+@q(
+    "phash_near_dup",
+    """
+WITH ph AS (
+  SELECT doc_id AS image_id,
+         xor(
+           (('0x' || substr(md5((doc_id % 120)::VARCHAR), 1, 8))::BIGINT::HUGEINT
+              * 4294967296
+            + ('0x' || substr(md5((doc_id % 120)::VARCHAR), 9, 8))::BIGINT
+            - CASE WHEN ('0x' || substr(md5((doc_id % 120)::VARCHAR), 1, 8))::BIGINT
+                        >= 2147483648
+                   THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT,
+           (1::BIGINT << (doc_id % 63))
+         ) AS phash
+  FROM documents
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM ph a JOIN ph b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+""",
+)
+def phash_near_dup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 120).cast("string")
+    hi = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(g), 9, 8), 16, 10).cast("long")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.shiftleft(hi, 32) + lo).bitwiseXOR(
+            F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 63 as int))")
+        ).alias("phash"),
+    )
+    return dedup.phash_near_pairs(imgs, max_hamming=2, id_col="image_id")
+
+
 # ---- ANN: IVF top-k with the seeded codebook (exact oracle) ----
 # seeded_centroids picks the 8 vectors with smallest md5-hash of id —
 # SQL-reproducible; assignment/probe/top-k are rank orderings over
@@ -1430,6 +1474,9 @@ _DRIVER_TAIL = [
     "f4_exists_filter",
     "g1_round_coords",
     "text_lang_id",
+    # r4 late addition: resting an 11th thrice-green veteran keeps the
+    # new phash_near_dup inside the driver's 50-row window
+    "text_token_count",
 ]
 
 

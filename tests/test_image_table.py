@@ -205,3 +205,51 @@ def test_extract_audio_features_real(spark):
     assert z["rms"] == 0.0 and z["spectral_centroid_hz"] == 0.0
     c = out["corrupt"]
     assert c["duration_s"] is None and c["rms"] is None
+
+
+def test_phash_near_pairs_from_real_pixels(spark):
+    """phash_near_pairs over phashes computed from actual pixels
+    (images.phash64), not synthetic bit math: 8 base images whose 8×8
+    average-hash cells are a high-contrast random pattern, each paired
+    with a near-duplicate that flips exactly two cells (hamming == 2).
+    The banded join must return exactly the 8 planted pairs — the
+    pigeonhole guarantee (max_hamming 3 ≤ n_bands−1) makes it exact."""
+    import pandas as pd
+
+    from gtfs_to_geojson_spark.operators import dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(8):
+        pattern = rng.integers(0, 2, (8, 8))
+        pattern[0, 0], pattern[7, 7] = 0, 1  # both levels present
+        base = np.kron(pattern * 200, np.ones((8, 8), dtype=np.int64))
+        px = np.stack([base] * 3, -1).astype(np.uint8)
+        near = pattern.copy()
+        fy, fx = (i % 8, (i * 3 + 1) % 8), ((i + 2) % 8, (i * 5 + 3) % 8)
+        near[fy] ^= 1
+        near[fx] ^= 1
+        nbase = np.kron(near * 200, np.ones((8, 8), dtype=np.int64))
+        npx = np.stack([nbase] * 3, -1).astype(np.uint8)
+        ha, hb = I.phash64(px), I.phash64(npx)
+        assert bin((ha ^ hb) & (2**64 - 1)).count("1") == 2
+        rows += [(f"img_{i}_a", ha), (f"img_{i}_b", hb)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "phash"]),
+        schema="image_id string, phash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.phash_near_pairs(df, max_hamming=3).collect()
+    }
+    # brute-force ground truth over the same 16 phashes
+    ph = dict(rows)
+    ids = sorted(ph)
+    want = {
+        (a, b): bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1")
+        for ia, a in enumerate(ids)
+        for b in ids[ia + 1:]
+        if bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == want
+    assert len(got) == 8 and all(h == 2 for h in got.values())
