@@ -340,29 +340,58 @@ def signature_near_pairs(
     id_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    combos: int = 1,
     target_bucket_rows: int = 100_000,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded Hamming near-pairs over ANY 64-bit signature column
     (simhash, image phash, audio fingerprint): the signature is split
-    into n_bands equal bit-chunks; pairs agreeing on ≥1 band
-    (pigeonhole: hamming ≤ n_bands−1 guarantees a shared band) are
-    verified with exact popcount ≤ max_hamming via ``bit_count``.
-    For max_hamming ≤ n_bands−1 the result is therefore EXACT — equal
-    to the brute-force all-pairs filter — without the O(n²) join.
+    into n_bands equal bit-chunks and bucketed on every combination of
+    ``combos`` chunks; candidates are verified with exact popcount ≤
+    max_hamming via ``bit_count``. Pigeonhole: ≤ h flipped bits touch
+    ≤ h chunks, so a pair with hamming ≤ n_bands − combos always
+    shares some untouched ``combos``-subset — for
+    max_hamming ≤ n_bands − combos the result is EXACT, equal to the
+    brute-force all-pairs filter, without the O(n²) join.
+
+    ``combos`` is the corpus-size dial (the 50M-doc LSH run's "size
+    bands to the corpus" lesson, NOTES_r4): with combos=1 a 16-bit
+    key over 10^8 rows puts ~1.5k rows in EVERY bucket — ~3·10^11
+    accidental candidate pairs before verification. combos=2 widens
+    the key to 32 bits (C(4,2)=6 keys/row), collapsing accidental
+    candidates to ~10^7 at 10^8 rows; at 10^12 rows use more, narrower
+    chunks (e.g. n_bands=8, combos=4 → 70 keys/row, 32-bit buckets)
+    and let the salted generator absorb what remains.
 
     Candidate generation rides _salted_bucket_pairs (ids-only shuffle,
-    hot buckets salted / optionally capped — VERDICT r1); the band
-    index is folded into the bucket key so bands never cross-match."""
-    sh = sigs.select(F.col(id_col), F.col(sig_col).alias("_sig"))
+    hot buckets salted / optionally capped — VERDICT r1); the
+    combination index is folded into the bucket key so combinations
+    never cross-match."""
+    if not 1 <= combos <= n_bands:
+        raise ValueError(f"combos ({combos}) must be in [1, n_bands]")
     width = 64 // n_bands
-    band_keys = [
-        F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(
+    import itertools
+    import math
+
+    keysets = list(itertools.combinations(range(n_bands), combos))
+    if combos * width + math.ceil(math.log2(len(keysets) + 1)) > 63:
+        raise ValueError(
+            f"combo key overflows a signed long ({combos} chunks × {width} "
+            "bits + combination index); use more, narrower bands"
+        )
+    sh = sigs.select(F.col(id_col), F.col(sig_col).alias("_sig"))
+
+    def _chunk(b: int):
+        return F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(
             F.lit((1 << width) - 1)
         )
-        + F.lit(b << (width + 1))  # disjoint key range per band
-        for b in range(n_bands)
-    ]
+
+    band_keys = []
+    for ci, idxs in enumerate(keysets):
+        k = F.lit(ci).cast("long")  # disjoint key range per combination
+        for b in idxs:
+            k = F.shiftleft(k, width) + _chunk(b)
+        band_keys.append(k)
     buckets = sh.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_keys)).alias("bucket")
     ).select("bucket", "id")

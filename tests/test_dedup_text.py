@@ -415,3 +415,61 @@ def test_embed_near_dup_salted_identical(spark):
     assert len(plain) > 0
     key = lambda df: sorted(zip(df.id_a, df.id_b, df.cosine))
     assert key(plain) == key(salted)
+
+
+def test_signature_combos_exact_vs_brute(spark):
+    """combos>1 (multi-chunk LSH keys, the corpus-size dial) must stay
+    EXACT while max_hamming <= n_bands - combos: the pair set and
+    hamming values equal both the brute-force popcount filter and the
+    combos=1 path."""
+    rng = np.random.default_rng(42)
+    sigs = list(rng.integers(-(1 << 63), 1 << 63, 60, dtype=np.int64))
+    # plant near-dups: flip <=2 bits of existing sigs
+    for i in range(20):
+        flips = rng.integers(0, 64, rng.integers(1, 3))
+        v = int(sigs[i])
+        for b in flips:
+            v ^= 1 << int(b)
+        # wrap to signed 64
+        sigs.append(np.int64((v + (1 << 63)) % (1 << 64) - (1 << 63)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"sid": np.arange(len(sigs)), "sig": np.array(sigs, dtype=np.int64)})
+    )
+
+    def popcount(x):
+        return bin(x & ((1 << 64) - 1)).count("1")
+
+    brute = {
+        (a, b): popcount(int(sigs[a]) ^ int(sigs[b]))
+        for a in range(len(sigs))
+        for b in range(a + 1, len(sigs))
+        if popcount(int(sigs[a]) ^ int(sigs[b])) <= 2
+    }
+    assert len(brute) >= 20
+
+    for n_bands, combos in [(4, 1), (4, 2), (8, 4), (8, 6)]:
+        got = dedup.signature_near_pairs(
+            df, "sig", "sid", max_hamming=2, n_bands=n_bands, combos=combos
+        ).toPandas()
+        assert dict(zip(zip(got.id_a, got.id_b), got.hamming)) == brute, (
+            n_bands,
+            combos,
+        )
+
+    # salted-bucket path with combo keys: same exact set
+    salted = dedup.signature_near_pairs(
+        df, "sig", "sid", max_hamming=2, n_bands=4, combos=2,
+        target_bucket_rows=4,
+    ).toPandas()
+    assert dict(zip(zip(salted.id_a, salted.id_b), salted.hamming)) == brute
+
+
+def test_signature_combos_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"sid": [1, 2], "sig": [0, 1]}))
+    with pytest.raises(ValueError, match="combos"):
+        dedup.signature_near_pairs(df, "sig", "sid", n_bands=4, combos=0)
+    with pytest.raises(ValueError, match="combos"):
+        dedup.signature_near_pairs(df, "sig", "sid", n_bands=4, combos=5)
+    # 2 chunks x 32 bits + combination index would overflow a signed long
+    with pytest.raises(ValueError, match="overflow"):
+        dedup.signature_near_pairs(df, "sig", "sid", n_bands=2, combos=2)
