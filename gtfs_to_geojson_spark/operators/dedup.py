@@ -334,6 +334,40 @@ def simhash_signatures(
     return acc.select(F.col(id_col), sim.alias("simhash"))
 
 
+def signature_bucket_keys(sig_col: str, n_bands: int, combos: int) -> list:
+    """Bucket-key Columns for a 64-bit signature: one key per
+    ``combos``-subset of the ``n_bands`` equal bit-chunks, the
+    combination index packed above the chunk bits so combinations
+    never cross-match. Shared by signature_near_pairs and the
+    scale bench's candidate-accounting histogram
+    (tools/signature_scale_bench.py)."""
+    if not 1 <= combos <= n_bands:
+        raise ValueError(f"combos ({combos}) must be in [1, n_bands]")
+    width = 64 // n_bands
+    import itertools
+    import math
+
+    keysets = list(itertools.combinations(range(n_bands), combos))
+    if combos * width + math.ceil(math.log2(len(keysets) + 1)) > 63:
+        raise ValueError(
+            f"combo key overflows a signed long ({combos} chunks × {width} "
+            "bits + combination index); use more, narrower bands"
+        )
+
+    def _chunk(b: int):
+        return F.shiftrightunsigned(F.col(sig_col), b * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    band_keys = []
+    for ci, idxs in enumerate(keysets):
+        k = F.lit(ci).cast("long")  # disjoint key range per combination
+        for b in idxs:
+            k = F.shiftleft(k, width) + _chunk(b)
+        band_keys.append(k)
+    return band_keys
+
+
 def signature_near_pairs(
     sigs: DataFrame,
     sig_col: str,
@@ -367,31 +401,8 @@ def signature_near_pairs(
     hot buckets salted / optionally capped — VERDICT r1); the
     combination index is folded into the bucket key so combinations
     never cross-match."""
-    if not 1 <= combos <= n_bands:
-        raise ValueError(f"combos ({combos}) must be in [1, n_bands]")
-    width = 64 // n_bands
-    import itertools
-    import math
-
-    keysets = list(itertools.combinations(range(n_bands), combos))
-    if combos * width + math.ceil(math.log2(len(keysets) + 1)) > 63:
-        raise ValueError(
-            f"combo key overflows a signed long ({combos} chunks × {width} "
-            "bits + combination index); use more, narrower bands"
-        )
     sh = sigs.select(F.col(id_col), F.col(sig_col).alias("_sig"))
-
-    def _chunk(b: int):
-        return F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
-
-    band_keys = []
-    for ci, idxs in enumerate(keysets):
-        k = F.lit(ci).cast("long")  # disjoint key range per combination
-        for b in idxs:
-            k = F.shiftleft(k, width) + _chunk(b)
-        band_keys.append(k)
+    band_keys = signature_bucket_keys("_sig", n_bands, combos)
     buckets = sh.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_keys)).alias("bucket")
     ).select("bucket", "id")
