@@ -441,6 +441,7 @@ def phash_near_pairs(
     phash_col: str = "phash",
     id_col: str = "image_id",
     n_bands: int = 4,
+    combos: int = 1,
     target_bucket_rows: int = 100_000,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
@@ -451,11 +452,12 @@ def phash_near_pairs(
     sign-of-AC), so near-dup detection is the banded signature join
     directly on the stored column: no pixel decode, no Python, and an
     ids+longs-only shuffle — at 10^12 images the candidate generator
-    never touches the binary column. With max_hamming ≤ n_bands−1 the
-    pigeonhole guarantee makes the result exact (not approximate)."""
+    never touches the binary column. With max_hamming ≤ n_bands−combos
+    the pigeonhole guarantee makes the result exact (not approximate);
+    raise ``combos`` for 10^8+ corpora (see signature_near_pairs)."""
     return signature_near_pairs(
         images, phash_col, id_col,
-        max_hamming=max_hamming, n_bands=n_bands,
+        max_hamming=max_hamming, n_bands=n_bands, combos=combos,
         target_bucket_rows=target_bucket_rows, max_bucket_size=max_bucket_size,
     )
 

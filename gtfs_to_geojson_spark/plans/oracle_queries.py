@@ -929,9 +929,11 @@ def simhash_pairs(spark, sf_dir):
 # groups the same way j9 plants geotags: base = md5-derived 64-bit of
 # the group key (doc_id % 120), then one planted bit flip at
 # (doc_id % 63) — within-group pairs have hamming ∈ {0, 2}, cross-group
-# pairs ~32. max_hamming=2 ≤ n_bands−1=3, so the pigeonhole guarantee
-# makes the banded result EXACT and the oracle is the honest
+# pairs ~32. max_hamming=2 ≤ n_bands−combos=2, so the pigeonhole
+# guarantee makes the banded result EXACT and the oracle is the honest
 # brute-force all-pairs filter (stronger than replicating the bands).
+# combos=2 (the r4 corpus-scale key-width dial, measured at 10^8 sigs
+# in BENCH/ROBUSTNESS.md) so the driver pins that path every round.
 @q(
     "phash_near_dup",
     """
@@ -965,7 +967,7 @@ def phash_near_dup(spark, sf_dir):
             F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 63 as int))")
         ).alias("phash"),
     )
-    return dedup.phash_near_pairs(imgs, max_hamming=2, id_col="image_id")
+    return dedup.phash_near_pairs(imgs, max_hamming=2, id_col="image_id", combos=2)
 
 
 # ---- ANN: IVF top-k with the seeded codebook (exact oracle) ----
