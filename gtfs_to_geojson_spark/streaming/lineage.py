@@ -56,7 +56,13 @@ class LineageManifest:
             columns=["bucket", "status", "rows", "ms", "attempt"],
         )
         fname = os.path.join(self.path, f"manifest_{int(time.time() * 1e6)}_{attempt}.parquet")
-        pdf.to_parquet(fname, index=False)
+        # write-then-rename: a kill mid-write must not leave a truncated
+        # .parquet that breaks the resume read (rename is atomic on one
+        # filesystem; the dot-prefix marks the temp file hidden so
+        # Spark's directory reader never globs a partial file)
+        tmp = os.path.join(self.path, "." + os.path.basename(fname) + ".tmp")
+        pdf.to_parquet(tmp, index=False)
+        os.rename(tmp, fname)
 
 
 def run_bucketed(
@@ -112,9 +118,18 @@ def run_bucketed_waves(
             if select_cols:
                 df = df.select(*select_cols)
             df.write.mode("overwrite").partitionBy(bucket_col).parquet(out_dir)
+            # manifest row counts come from the COMMITTED output, not a
+            # re-execution of the wave pipeline: the partition filter
+            # prunes to this wave's bucket dirs and only the partition
+            # column is read, so the count is parquet-footer metadata —
+            # the upstream compute (decode/join) runs exactly once
             counts = {
                 r[0]: r[1]
-                for r in df.groupBy(bucket_col).count().collect()
+                for r in spark.read.parquet(out_dir)
+                .filter(F.col(bucket_col).isin([int(b) for b in wave]))
+                .groupBy(bucket_col)
+                .count()
+                .collect()
             }
             ms = (time.time() - t0) * 1000.0 / max(1, len(wave))
             manifest.mark_done([(int(b), int(counts.get(b, 0)), ms) for b in wave])

@@ -59,6 +59,21 @@ def test_pending_anti_join(spark, work, tmp_path):
     assert {r["bucket"] for r in pending.select("bucket").distinct().collect()} == {1, 2, 4}
 
 
+def test_truncated_tmp_manifest_ignored(spark, work, tmp_path):
+    """mark_done is write-then-rename: a kill mid-write leaves only a
+    dot-prefixed ``.tmp`` file, which the resume read must ignore —
+    even if the kill truncated it to garbage bytes."""
+    man_dir = tmp_path / "m3"
+    manifest = LineageManifest(spark, str(man_dir))
+    manifest.mark_done([(0, 20, 1.0), (3, 20, 1.0)])
+    # a kill mid-to_parquet: half-written temp file, never renamed
+    (man_dir / ".manifest_999_1.parquet.tmp").write_bytes(b"PAR1\x00trunc")
+    done = {r[0] for r in manifest.completed_buckets().collect()}
+    assert done == {0, 3}
+    pending = manifest.pending(work, "bucket")
+    assert {r["bucket"] for r in pending.select("bucket").distinct().collect()} == {1, 2, 4}
+
+
 def test_run_bucketed_waves_resume(spark, tmp_path):
     """Wave-mode lineage: kill between waves → resume processes only
     the remaining buckets (completed waves' outputs untouched)."""
