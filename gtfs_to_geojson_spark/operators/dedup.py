@@ -471,11 +471,18 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold.
 
-    Scale path: bucket by the sign pattern of the first 8 dims of the
+    Bucket by the sign pattern of the first 8 dims of the
     L2-normalized vector (a crude but deterministic LSH); exact cosine
     (JVM-side ``aggregate``/``zip_with`` — no UDF) within bucket.
     Near-threshold pairs straddling buckets are caught by also probing
     each vector's 1-bit-flip neighbor buckets.
+
+    Scale ceiling: 8 sign bits is 256 buckets TOTAL, so per-bucket
+    membership grows linearly with the corpus and the within-bucket
+    join quadratically — fine to ~10⁶ rows, wrong past ~10⁷. For
+    large corpora use ``similarity.near_dup_pairs_ivf`` (r4): an EXACT
+    Voronoi-partitioned ε-ball join whose codebook grows with the data
+    (measured at 10M rows in BENCH/ROBUSTNESS.md).
 
     Same hot-bucket discipline as the LSH generators (r2): the
     candidate join carries IDS ONLY (vectors re-attach to deduped

@@ -7,6 +7,12 @@
   centroids (seeded from stable ids), vectors assigned to nearest
   centroid in a vectorized pandas UDF; queries probe ``n_probe``
   nearest centroids; exact cosine within probed buckets only.
+* EXACT near-dup pair join (``near_dup_pairs_ivf``) — Voronoi
+  partition of the unit sphere with radius-expanded probing: every
+  pair with cosine ≥ threshold is provably co-located in at least one
+  bucket, so the result equals the brute-force all-pairs filter while
+  per-bucket verification runs as blocked BLAS inside an Arrow
+  kernel (no candidate-pair row explosion).
 """
 
 from __future__ import annotations
@@ -222,3 +228,293 @@ def ivf_topk(
     joined = bucketed.join(broadcast(q), "_bucket")
     scored = joined.withColumn("cosine", _cos_col(vec_col, q_vec, dim))
     return _topk_select(scored, k, q_id, id_col, partial_topk)
+
+
+def near_dup_pairs_ivf(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    train_iters: int = 0,
+    max_home_per_task: int = 100_000,
+    block_rows: int = 4096,
+    coverage_rounds: int = 3,
+    coverage_slack: float = 0.005,
+    diagnostics: dict | None = None,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs ≥ threshold at scale.
+
+    The sign-LSH generator (dedup.embedding_near_dup_pairs) buckets on
+    8 sign bits — 256 buckets total, quadratic per bucket past ~10⁷
+    rows. This operator replaces the hash buckets with a Voronoi
+    partition of the unit sphere and keeps the result EXACT:
+
+    * cosine ≥ t  ⇔  chord ‖â−b̂‖ ≤ ε, ε = √(2−2t), on L2-normalized
+      vectors — the threshold join is an ε-ball join on the sphere.
+    * Every vector is HOME in its nearest centroid's bucket and PROBES
+      bucket c iff  d(v,c) ≤ min(d_home(v) + 2ε,  r(c) + ε), where
+      r(c) is the bucket's maximum home distance. EITHER arm alone
+      guarantees a pair (a,b) with ‖â−b̂‖ ≤ ε meets in b's home
+      bucket c_b, so their intersection does too (triangle
+      inequality, both via d(â,c_b) ≤ ‖â−b̂‖ + d(b̂,c_b)):
+        arm A:  d(â,c_b) ≤ ε + d_home(b̂) ≤ ε + d(b̂,c_home(â))
+                 ≤ 2ε + d_home(â);
+        arm B:  d(â,c_b) ≤ ε + d_home(b̂) ≤ ε + r(c_b).
+      No recall knob: the result equals brute force (pinned vs numpy
+      in tests/test_dedup_text.py and vs DuckDB by the driver oracle).
+      Arm B is what bounds fan-out for OUTLIERS (a vector far from
+      every centroid has a huge arm-A radius but only probes buckets
+      that are themselves wide or truly close).
+    * COVERAGE-GROWN codebook: hash-seeded centroids can miss whole
+      regions (a missed dense cluster ⇒ its members' d_home is the
+      inter-cluster distance ⇒ arm A degenerates toward all-centroid
+      probing — measured 277 probes/vector mean at 10⁵ rows before
+      this fix). Up to ``coverage_rounds`` times, while more than
+      ``coverage_slack`` of vectors have d_home > τ
+      (τ = max(2ε, 2·median d_home of the first codebook)), another
+      ``n_centroids`` seeds are drawn — hash-ordered, deterministic —
+      from the UNCOVERED vectors themselves, so new centroids land
+      exactly where the codebook fails. Growth affects only
+      performance, never the result (any codebook is exact).
+    * Within a bucket, HOME rows verify against ALL bucket members
+      (home + probe) with blocked float64 BLAS inside one
+      applyInPandas kernel — candidates never materialize as rows, so
+      there is no |bucket|² shuffle, only the ≥-threshold survivors.
+
+    Scale & skew (same discipline as _salted_bucket_pairs / grid kNN):
+    the only wide shuffle carries each row (1 + probes + salt
+    replication) times; buckets whose HOME count exceeds
+    ``max_home_per_task`` are salted — home rows keep one
+    deterministic salt, the bucket's full membership replicates per
+    salt — bounding per-task OUTPUT and compute at
+    max_home_per_task·|bucket| while every pair still meets exactly
+    once per shared bucket (dropDuplicates folds cross-bucket
+    repeats). Per-task MEMORY is |bucket|·d·8 bytes: size
+    ``n_centroids ≈ n / target_bucket`` (plus ``train_iters ≥ 1`` for
+    balance) exactly like grid kNN sizes targets_per_cell. Probing is
+    selective only when ε is small against centroid spacing — i.e.
+    genuine near-dup thresholds (≥0.9). Low thresholds degrade
+    gracefully toward all-bucket probing (still exact, still salted).
+
+    Assumes unique ids and non-zero vectors (a zero vector has no
+    direction; its cosine is NaN in any engine and never ≥ t here).
+    Reference parity: engine-new — the training-data dedup family
+    (SURVEY.md §2), sharing the reference's "same result, partitioned
+    execution" contract.
+    """
+    import math
+
+    eps = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    # float slack: probe rules compare float64 chord distances; an
+    # exactly-boundary pair must not be lost to 1 ulp of matmul error
+    pad = 1e-9
+
+    id_type = emb.schema[id_col].dataType
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_vec"),
+    )
+
+    if train_iters > 0:
+        cents = kmeans_centroids(emb, n_centroids, train_iters, id_col, vec_col)
+    else:
+        cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
+    if not len(cents):  # empty input
+        return emb.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", id_type),
+                    T.StructField("id_b", id_type),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            ),
+        )
+
+    def _norm_rows(m: np.ndarray) -> np.ndarray:
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    stats_schema = T.StructType(
+        [
+            T.StructField("_id", id_type),
+            T.StructField("_home", T.IntegerType()),
+            T.StructField("_dh", T.DoubleType()),
+        ]
+    )
+
+    def _stats_df(cn: np.ndarray) -> DataFrame:
+        """One matmul pass: per vector, nearest centroid + chord
+        distance to it. Lazy localCheckpoint — each growth round reads
+        it twice (coverage fraction, seed selection)."""
+
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf["_id"].to_numpy()
+                vecs = pdf["_vec"].to_numpy()
+                for lo in range(0, len(pdf), 2048):
+                    m = _norm_rows(np.asarray(list(vecs[lo : lo + 2048]), dtype=np.float64))
+                    dist = np.sqrt(np.maximum(2.0 - 2.0 * (m @ cn.T), 0.0))
+                    yield pd.DataFrame(
+                        {
+                            "_id": ids[lo : lo + 2048],
+                            "_home": dist.argmin(axis=1).astype(np.int32),
+                            "_dh": dist.min(axis=1),
+                        }
+                    )
+
+        return base.mapInPandas(gen, stats_schema).localCheckpoint(eager=False)
+
+    cn = _norm_rows(cents)
+    st = _stats_df(cn)
+    rounds_used = 0
+    if coverage_rounds > 0:
+        med = st.approxQuantile("_dh", [0.5], 0.01)[0]
+        tau = max(2.0 * eps, 2.0 * (med or 0.0))
+        n_total = max(1, st.count())  # hits the checkpoint, no rescan
+        h = F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 15), 16, 10).cast("long")
+        for _ in range(coverage_rounds):
+            uncovered = st.filter(F.col("_dh") > tau)
+            if uncovered.count() <= coverage_slack * n_total:
+                break
+            seed_ids = uncovered.withColumn("_h", h).orderBy("_h", "_id").limit(n_centroids)
+            new_rows = (
+                base.join(seed_ids.select("_id"), "_id", "left_semi")
+                .select("_vec")
+                .collect()
+            )
+            if not new_rows:
+                break
+            cn = np.vstack([cn, _norm_rows(np.asarray([list(r["_vec"]) for r in new_rows]))])
+            st = _stats_df(cn)
+            rounds_used += 1
+
+    # per-bucket home radius r(c) — probe arm B (tiny aggregate: ≤ |C| rows)
+    rbuf = np.zeros(len(cn), dtype=np.float64)
+    for row in st.groupBy("_home").agg(F.max("_dh").alias("_r")).collect():
+        rbuf[row["_home"]] = row["_r"]
+
+    if diagnostics is not None:  # bench/test introspection, no behavior change
+        diagnostics["codebook"] = cn
+        diagnostics["home_radius"] = rbuf
+        diagnostics["growth_rounds"] = rounds_used
+
+    assigned_schema = T.StructType(
+        [
+            T.StructField("_id", id_type),
+            T.StructField("_vec", T.ArrayType(T.DoubleType())),
+            T.StructField("_bucket", T.IntegerType()),
+            T.StructField("_home", T.BooleanType()),
+        ]
+    )
+    limit_b = rbuf + (eps + pad)  # arm B, per centroid
+
+    def probe_gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            vecs = pdf["_vec"].to_numpy()
+            # chunk the distance matrix: 2048×|C| float64 stays modest
+            # even at ~10⁴ centroids (an Arrow batch can be 10k+ rows)
+            for lo in range(0, len(pdf), 2048):
+                m = _norm_rows(np.asarray(list(vecs[lo : lo + 2048]), dtype=np.float64))
+                dist = np.sqrt(np.maximum(2.0 - 2.0 * (m @ cn.T), 0.0))
+                home = dist.argmin(axis=1)
+                lim = np.minimum(dist.min(axis=1)[:, None] + (2.0 * eps + pad), limit_b[None, :])
+                ri, ci = np.nonzero(dist <= lim)
+                yield pd.DataFrame(
+                    {
+                        "_id": ids[lo : lo + 2048][ri],
+                        "_vec": vecs[lo : lo + 2048][ri],
+                        "_bucket": ci.astype(np.int32),
+                        "_home": ci == home[ri],
+                    }
+                )
+
+    # lazy localCheckpoint: assigned feeds the hot histogram AND both
+    # group sides — without it the probe matmul would run three times
+    assigned = base.mapInPandas(probe_gen, assigned_schema).localCheckpoint(eager=False)
+
+    home = assigned.filter(F.col("_home"))
+    hot = (
+        home.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") > max_home_per_task)
+        .select(
+            "_bucket",
+            F.ceil(F.col("_m") / F.lit(max_home_per_task)).cast("int").alias("_g"),
+        )
+    )
+    h_side = home.join(F.broadcast(hot), "_bucket", "left").select(
+        "_bucket",
+        F.coalesce(
+            F.pmod(F.xxhash64(F.col("_id")), F.col("_g")).cast("int"), F.lit(0)
+        ).alias("_salt"),
+        "_id",
+        "_vec",
+        F.lit(True).alias("_h"),
+    )
+    x_side = assigned.join(F.broadcast(hot), "_bucket", "left").select(
+        "_bucket",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("_g"), F.lit(1)) - 1)
+        ).alias("_salt"),
+        "_id",
+        "_vec",
+        F.lit(False).alias("_h"),
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        hm = pdf["_h"].to_numpy()
+        hs, xs = pdf[hm], pdf[~hm]
+        if not len(hs) or not len(xs):
+            return empty
+        mx = np.asarray(list(xs["_vec"].to_numpy()), dtype=np.float64)
+        nx = np.maximum(np.linalg.norm(mx, axis=1), 1e-12)
+        ids_x = xs["_id"].to_numpy()
+        mh = np.asarray(list(hs["_vec"].to_numpy()), dtype=np.float64)
+        nh = np.maximum(np.linalg.norm(mh, axis=1), 1e-12)
+        ids_h = hs["_id"].to_numpy()
+        outs = []
+        for lo in range(0, len(hs), block_rows):
+            cos = (mh[lo : lo + block_rows] @ mx.T) / np.outer(
+                nh[lo : lo + block_rows], nx
+            )
+            ii, jj = np.nonzero(cos >= threshold)
+            if not len(ii):
+                continue
+            ida, idb = ids_h[lo + ii], ids_x[jj]
+            keep = ida != idb
+            ida, idb, c = ida[keep], idb[keep], cos[ii, jj][keep]
+            lohi = ida < idb
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.where(lohi, ida, idb),
+                        "id_b": np.where(lohi, idb, ida),
+                        "cosine": c,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    pairs = (
+        h_side.unionByName(x_side)
+        .groupBy("_bucket", "_salt")
+        .applyInPandas(kernel, pair_schema)
+    )
+    # a pair meets once per shared (bucket, salt) — cross-bucket and
+    # both-home repeats fold here; survivors are tiny by construction
+    return pairs.dropDuplicates(["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )

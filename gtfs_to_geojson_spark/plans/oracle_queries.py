@@ -776,6 +776,33 @@ def embed_near_dup(spark, sf_dir):
     )
 
 
+# ---- dedup: EXACT near-dup pairs via Voronoi/IVF partition (r4) ----
+# Same truth set as embed_near_dup — the operator is exact, so the
+# oracle is threshold-only, independent of codebook internals. The
+# registered parameters force every interesting path at driver scale:
+# train_iters=1 (distributed k-means), max_home_per_task=64 (hot-
+# bucket salting engages on ~62-row home buckets), and 0.35 sits in
+# the degenerate-probe regime (2ε > sphere diameter ⇒ all-centroid
+# probing) so pruning cannot hide a kernel bug. The selective-probe
+# regime is pinned by tests/test_dedup_text.py and the 10M-row run
+# in BENCH/ROBUSTNESS.md.
+@q(
+    "embed_near_dup_ivf",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+ AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+""",
+)
+def embed_near_dup_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.near_dup_pairs_ivf(
+        emb, threshold=0.35, n_centroids=8, train_iters=1, max_home_per_task=64
+    )
+    return out.select("id_a", "id_b")
+
+
 # ---- dedup: MinHash+LSH candidate pairs (exact oracle) ----
 # The whole pipeline — shingles → 16 md5-min hashes → 4 banded md5
 # bucket keys → intra-bucket pairs → agreement fraction — is
@@ -1479,6 +1506,9 @@ _DRIVER_TAIL = [
     # r4 late addition: resting an 11th thrice-green veteran keeps the
     # new phash_near_dup inside the driver's 50-row window
     "text_token_count",
+    # r4 second addition: rest a 12th (g13 driver-green r1+r2+r3) so
+    # the new embed_near_dup_ivf enters the window
+    "g13_json_extract",
 ]
 
 

@@ -473,3 +473,87 @@ def test_signature_combos_validation(spark):
     # 2 chunks x 32 bits + combination index would overflow a signed long
     with pytest.raises(ValueError, match="overflow"):
         dedup.signature_near_pairs(df, "sig", "sid", n_bands=2, combos=2)
+
+
+@pytest.fixture(scope="module")
+def emb_clustered(spark):
+    """240 vectors, d=8: 6 well-separated anchor clusters with noise,
+    plus planted near-dup pairs at graded cosines (straddling the
+    tested thresholds) and pairs sitting ACROSS Voronoi boundaries
+    (midpoints between anchors) — the case the radius-expanded probe
+    exists for."""
+    rng = np.random.default_rng(7)
+    anchors = rng.normal(size=(6, 8)) * 4.0
+    rows = []
+    for i in range(200):
+        rows.append(anchors[i % 6] + rng.normal(size=8) * 0.4)
+    base = np.asarray(rows)
+    extra = []
+    for j, delta in enumerate([0.0, 0.005, 0.02, 0.08, 0.3, 1.0, 2.0, 4.0]):
+        v = base[j * 11]
+        u = rng.normal(size=8)
+        extra.append(v + delta * u / np.linalg.norm(u) * np.linalg.norm(v))
+    for a in range(5):  # boundary pairs: midpoint of two anchors ± tiny
+        mid = (anchors[a] + anchors[a + 1]) / 2.0
+        u = rng.normal(size=8) * 0.01
+        extra.extend([mid + u, mid - u])
+    m = np.vstack([base, np.asarray(extra)])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(m)), "embedding": [r.tolist() for r in m]}
+    )
+    return spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>"), m
+
+
+def _brute_pairs(m: np.ndarray, threshold: float) -> set:
+    n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cos = n @ n.T
+    ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+    return {(int(a), int(b)) for a, b in zip(ii, jj)}
+
+
+def test_near_dup_ivf_exact_vs_brute(emb_clustered):
+    """near_dup_pairs_ivf is EXACT: for every threshold (selective and
+    degenerate-probe regimes) and codebook (seeded and trained), the
+    pair set equals numpy brute force — including cross-Voronoi
+    boundary pairs and graded planted dups."""
+    emb, m = emb_clustered
+    for threshold in (0.999, 0.98, 0.9, 0.5):
+        want = _brute_pairs(m, threshold)
+        for n_centroids, train_iters in ((4, 0), (16, 0), (16, 1)):
+            got_pdf = similarity.near_dup_pairs_ivf(
+                emb, threshold=threshold, n_centroids=n_centroids,
+                train_iters=train_iters,
+            ).toPandas()
+            got = {(int(a), int(b)) for a, b in zip(got_pdf.id_a, got_pdf.id_b)}
+            assert got == want, (threshold, n_centroids, train_iters)
+        assert want, threshold  # fixture guarantees non-trivial truth
+
+
+def test_near_dup_ivf_salted_identical(emb_clustered):
+    """Hot-bucket salting (max_home_per_task far below bucket sizes)
+    must leave the pair set AND cosines identical."""
+    emb, m = emb_clustered
+    plain = similarity.near_dup_pairs_ivf(
+        emb, threshold=0.98, n_centroids=4
+    ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    salted = similarity.near_dup_pairs_ivf(
+        emb, threshold=0.98, n_centroids=4, max_home_per_task=4
+    ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted)
+    assert len(plain) == len(_brute_pairs(m, 0.98))
+
+
+def test_near_dup_ivf_edges(spark, emb):
+    """n_centroids > n (every vector its own bucket), exact-direction
+    duplicates (cosine 1.0), and tiny block_rows (multi-block kernel
+    path) all stay exact."""
+    out = similarity.near_dup_pairs_ivf(
+        emb, threshold=0.98, n_centroids=100, block_rows=3
+    ).toPandas()
+    got = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    one = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 2.0]]}),
+        schema="vec_id long, embedding array<double>",
+    )
+    assert similarity.near_dup_pairs_ivf(one, threshold=0.9, n_centroids=4).count() == 0
