@@ -238,7 +238,9 @@ def near_dup_pairs_ivf(
     n_centroids: int = 64,
     train_iters: int = 0,
     max_home_per_task: int = 100_000,
+    max_members_per_task: int = 200_000,
     block_rows: int = 4096,
+    block_elems: int = 16_777_216,
     coverage_rounds: int = 3,
     coverage_slack: float = 0.005,
     diagnostics: dict | None = None,
@@ -283,19 +285,26 @@ def near_dup_pairs_ivf(
       there is no |bucket|² shuffle, only the ≥-threshold survivors.
 
     Scale & skew (same discipline as _salted_bucket_pairs / grid kNN):
-    the only wide shuffle carries each row (1 + probes + salt
-    replication) times; buckets whose HOME count exceeds
-    ``max_home_per_task`` are salted — home rows keep one
-    deterministic salt, the bucket's full membership replicates per
-    salt — bounding per-task OUTPUT and compute at
-    max_home_per_task·|bucket| while every pair still meets exactly
-    once per shared bucket (dropDuplicates folds cross-bucket
-    repeats). Per-task MEMORY is |bucket|·d·8 bytes: size
-    ``n_centroids ≈ n / target_bucket`` (plus ``train_iters ≥ 1`` for
-    balance) exactly like grid kNN sizes targets_per_cell. Probing is
-    selective only when ε is small against centroid spacing — i.e.
-    genuine near-dup thresholds (≥0.9). Low thresholds degrade
-    gracefully toward all-bucket probing (still exact, still salted).
+    the only wide shuffle carries each row (1 + probes + replication)
+    times; hot buckets are blocked on BOTH sides — home rows split
+    into g = ⌈home/max_home_per_task⌉ salt groups, the bucket's full
+    membership into c = ⌈members/max_members_per_task⌉ hash chunks,
+    and the kernel runs per (bucket, salt, chunk) so every (home,
+    member) pair meets in exactly one task (home row → its salt × all
+    chunks, member row → all salts × its chunk; dropDuplicates folds
+    cross-bucket and both-home repeats). Per-task MEMORY is therefore
+    ≤ (max_home_per_task + max_members_per_task)·d·8 bytes regardless
+    of bucket skew, and the BLAS working set is additionally capped at
+    ``block_elems`` floats per cosine block (the home-side block
+    shrinks as the member side grows — a fixed home block against an
+    unbounded member matrix is exactly the 10M-row OOM this replaces).
+    Cold buckets (the vast majority) keep g = c = 1: no extra
+    replication. Size ``n_centroids ≈ n / target_bucket`` (plus
+    ``train_iters ≥ 1`` for balance) exactly like grid kNN sizes
+    targets_per_cell. Probing is selective only when ε is small
+    against centroid spacing — i.e. genuine near-dup thresholds
+    (≥0.9). Low thresholds degrade gracefully toward all-bucket
+    probing (still exact, still blocked).
 
     Assumes unique ids and non-zero vectors (a zero vector has no
     direction; its cosine is NaN in any engine and never ≥ t here).
@@ -348,16 +357,20 @@ def near_dup_pairs_ivf(
         distance to it. Lazy localCheckpoint — each growth round reads
         it twice (coverage fraction, seed selection)."""
 
+        # dist-matrix chunk sized to the (possibly coverage-grown)
+        # codebook: ≤ 2^23 floats (64 MB) per chunk per task
+        step = max(256, min(2048, (1 << 23) // max(1, len(cn))))
+
         def gen(batches):
             for pdf in batches:
                 ids = pdf["_id"].to_numpy()
                 vecs = pdf["_vec"].to_numpy()
-                for lo in range(0, len(pdf), 2048):
-                    m = _norm_rows(np.asarray(list(vecs[lo : lo + 2048]), dtype=np.float64))
+                for lo in range(0, len(pdf), step):
+                    m = _norm_rows(np.asarray(list(vecs[lo : lo + step]), dtype=np.float64))
                     dist = np.sqrt(np.maximum(2.0 - 2.0 * (m @ cn.T), 0.0))
                     yield pd.DataFrame(
                         {
-                            "_id": ids[lo : lo + 2048],
+                            "_id": ids[lo : lo + step],
                             "_home": dist.argmin(axis=1).astype(np.int32),
                             "_dh": dist.min(axis=1),
                         }
@@ -409,24 +422,27 @@ def near_dup_pairs_ivf(
     )
     limit_b = rbuf + (eps + pad)  # arm B, per centroid
 
+    # chunk the distance matrix to ≤ 2^23 floats per task even when
+    # coverage growth has multiplied the codebook (an Arrow batch can
+    # be 10k+ rows; a fixed 2048 chunk at 16k centroids is 268 MB)
+    probe_step = max(256, min(2048, (1 << 23) // max(1, len(cn))))
+
     def probe_gen(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["_id"].to_numpy()
             vecs = pdf["_vec"].to_numpy()
-            # chunk the distance matrix: 2048×|C| float64 stays modest
-            # even at ~10⁴ centroids (an Arrow batch can be 10k+ rows)
-            for lo in range(0, len(pdf), 2048):
-                m = _norm_rows(np.asarray(list(vecs[lo : lo + 2048]), dtype=np.float64))
+            for lo in range(0, len(pdf), probe_step):
+                m = _norm_rows(np.asarray(list(vecs[lo : lo + probe_step]), dtype=np.float64))
                 dist = np.sqrt(np.maximum(2.0 - 2.0 * (m @ cn.T), 0.0))
                 home = dist.argmin(axis=1)
                 lim = np.minimum(dist.min(axis=1)[:, None] + (2.0 * eps + pad), limit_b[None, :])
                 ri, ci = np.nonzero(dist <= lim)
                 yield pd.DataFrame(
                     {
-                        "_id": ids[lo : lo + 2048][ri],
-                        "_vec": vecs[lo : lo + 2048][ri],
+                        "_id": ids[lo : lo + probe_step][ri],
+                        "_vec": vecs[lo : lo + probe_step][ri],
                         "_bucket": ci.astype(np.int32),
                         "_home": ci == home[ri],
                     }
@@ -437,13 +453,28 @@ def near_dup_pairs_ivf(
     assigned = base.mapInPandas(probe_gen, assigned_schema).localCheckpoint(eager=False)
 
     home = assigned.filter(F.col("_home"))
+    # hot-bucket block factors from ONE tiny histogram over assigned:
+    # g blocks the home side, c blocks the full membership side
     hot = (
-        home.groupBy("_bucket")
-        .agg(F.count(F.lit(1)).alias("_m"))
-        .filter(F.col("_m") > max_home_per_task)
+        assigned.groupBy("_bucket")
+        .agg(
+            F.sum(F.col("_home").cast("int")).alias("_nh"),
+            F.count(F.lit(1)).alias("_nm"),
+        )
+        .filter(
+            (F.col("_nh") > max_home_per_task)
+            | (F.col("_nm") > max_members_per_task)
+        )
         .select(
             "_bucket",
-            F.ceil(F.col("_m") / F.lit(max_home_per_task)).cast("int").alias("_g"),
+            F.greatest(
+                F.ceil(F.col("_nh") / F.lit(max_home_per_task)).cast("int"),
+                F.lit(1),
+            ).alias("_g"),
+            F.greatest(
+                F.ceil(F.col("_nm") / F.lit(max_members_per_task)).cast("int"),
+                F.lit(1),
+            ).alias("_c"),
         )
     )
     h_side = home.join(F.broadcast(hot), "_bucket", "left").select(
@@ -451,6 +482,9 @@ def near_dup_pairs_ivf(
         F.coalesce(
             F.pmod(F.xxhash64(F.col("_id")), F.col("_g")).cast("int"), F.lit(0)
         ).alias("_salt"),
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("_c"), F.lit(1)) - 1)
+        ).alias("_chunk"),
         "_id",
         "_vec",
         F.lit(True).alias("_h"),
@@ -460,6 +494,9 @@ def near_dup_pairs_ivf(
         F.explode(
             F.sequence(F.lit(0), F.coalesce(F.col("_g"), F.lit(1)) - 1)
         ).alias("_salt"),
+        F.coalesce(
+            F.pmod(F.xxhash64(F.col("_id")), F.col("_c")).cast("int"), F.lit(0)
+        ).alias("_chunk"),
         "_id",
         "_vec",
         F.lit(False).alias("_h"),
@@ -486,9 +523,13 @@ def near_dup_pairs_ivf(
         nh = np.maximum(np.linalg.norm(mh, axis=1), 1e-12)
         ids_h = hs["_id"].to_numpy()
         outs = []
-        for lo in range(0, len(hs), block_rows):
-            cos = (mh[lo : lo + block_rows] @ mx.T) / np.outer(
-                nh[lo : lo + block_rows], nx
+        # cap the BLAS working set at block_elems floats: the home-side
+        # block shrinks as the member matrix grows, so cos never
+        # exceeds ~block_elems·8 bytes no matter the bucket shape
+        step = max(1, min(block_rows, block_elems // max(1, len(mx))))
+        for lo in range(0, len(hs), step):
+            cos = (mh[lo : lo + step] @ mx.T) / np.outer(
+                nh[lo : lo + step], nx
             )
             ii, jj = np.nonzero(cos >= threshold)
             if not len(ii):
@@ -510,11 +551,11 @@ def near_dup_pairs_ivf(
 
     pairs = (
         h_side.unionByName(x_side)
-        .groupBy("_bucket", "_salt")
+        .groupBy("_bucket", "_salt", "_chunk")
         .applyInPandas(kernel, pair_schema)
     )
-    # a pair meets once per shared (bucket, salt) — cross-bucket and
-    # both-home repeats fold here; survivors are tiny by construction
+    # a pair meets once per shared (bucket, salt, chunk) — cross-bucket
+    # and both-home repeats fold here; survivors are tiny by construction
     return pairs.dropDuplicates(["id_a", "id_b"]).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )

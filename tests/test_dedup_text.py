@@ -530,16 +530,22 @@ def test_near_dup_ivf_exact_vs_brute(emb_clustered):
 
 
 def test_near_dup_ivf_salted_identical(emb_clustered):
-    """Hot-bucket salting (max_home_per_task far below bucket sizes)
-    must leave the pair set AND cosines identical."""
+    """Hot-bucket blocking — home-side salting, member-side chunking,
+    and a tiny BLAS element cap, separately and combined — must leave
+    the pair set AND cosines identical."""
     emb, m = emb_clustered
     plain = similarity.near_dup_pairs_ivf(
         emb, threshold=0.98, n_centroids=4
     ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    salted = similarity.near_dup_pairs_ivf(
-        emb, threshold=0.98, n_centroids=4, max_home_per_task=4
-    ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    pd.testing.assert_frame_equal(plain, salted)
+    for kw in (
+        {"max_home_per_task": 4},
+        {"max_members_per_task": 5},
+        {"max_home_per_task": 4, "max_members_per_task": 5, "block_elems": 7},
+    ):
+        blocked = similarity.near_dup_pairs_ivf(
+            emb, threshold=0.98, n_centroids=4, **kw
+        ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(plain, blocked)
     assert len(plain) == len(_brute_pairs(m, 0.98))
 
 
