@@ -96,7 +96,12 @@ def main():
     spark = get_spark(
         app_name="ann-scale-bench",
         shuffle_partitions=cpus * 4,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # a worker death at 320M-row fan-out should leave a Python
+            # traceback, not just "exited unexpectedly"
+            "spark.python.worker.faulthandler.enabled": "true",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
