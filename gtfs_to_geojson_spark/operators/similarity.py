@@ -54,23 +54,47 @@ def _cos_col(a: str, b: str, dim: int | None = None):
 
 
 def _partial_topk_kernel(k: int, q_col: str, i_col: str):
-    """Per-partition running top-k (mapInPandas). State is at most
-    |Q|·k rows; each Arrow batch is merged into it and re-selected, so
-    a partition streams through without ever materializing all its
-    candidate rows at once."""
+    """Per-partition running top-k (mapInArrow). State is at most
+    |Q|·k rows; each Arrow batch is merged into it and re-selected in
+    pure numpy (one lexsort + group-boundary ranks per batch), so a
+    partition streams through without ever materializing all its
+    candidate rows at once. Arrow-native on purpose: this kernel sees
+    EVERY scored candidate row, so its per-batch constant factor IS
+    the partial path's entire overhead — numeric columns cross from
+    the JVM zero-copy and no pandas index/block machinery runs on the
+    hot path (measured A/B in tools/ann_scale_bench.py)."""
 
     def fn(batches):
-        kept = None
-        for pdf in batches:
-            cur = pdf if kept is None else pd.concat((kept, pdf), ignore_index=True)
+        import pyarrow as pa
+
+        names = None
+        kq = ki = kc = None
+        for rb in batches:
+            if names is None:
+                names = rb.schema.names
+                qx, ix, cx = (names.index(n) for n in (q_col, i_col, "cosine"))
+            q = rb.column(qx).to_numpy(zero_copy_only=False)
+            i = rb.column(ix).to_numpy(zero_copy_only=False)
+            c = rb.column(cx).to_numpy(zero_copy_only=False)
+            if kq is not None:
+                q = np.concatenate((kq, q))
+                i = np.concatenate((ki, i))
+                c = np.concatenate((kc, c))
             # Spark DESC sorts NaN above every real value; map NaN to
-            # +inf so the numpy sort agrees bit-for-bit with the window
-            key = cur["cosine"].to_numpy(dtype=np.float64, copy=True)
+            # +inf so the numpy key agrees bit-for-bit with the window
+            key = c.copy()
             key[np.isnan(key)] = np.inf
-            cur = cur.assign(_key=-key).sort_values(["_key", i_col], kind="mergesort")
-            kept = cur.groupby(q_col, sort=False).head(k).drop(columns="_key")
-        if kept is not None and len(kept):
-            yield kept
+            order = np.lexsort((i, -key, q))  # q, then cosine DESC, id ASC
+            qs = q[order]
+            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            counts = np.diff(np.r_[starts, len(qs)])
+            rank = np.arange(len(qs)) - np.repeat(starts, counts)
+            sel = order[rank < k]
+            kq, ki, kc = q[sel], i[sel], c[sel]
+        if kq is not None and len(kq):
+            cols = [None, None, None]
+            cols[qx], cols[ix], cols[cx] = pa.array(kq), pa.array(ki), pa.array(kc)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return fn
 
@@ -80,16 +104,23 @@ def _topk_select(scored: DataFrame, k: int, q_id: str, id_col: str, partial: boo
 
     ``partial=True`` (default) pre-selects top-k per *input partition*
     in one Arrow pass before the global window, so the shuffle carries
-    ≤ partitions·|Q|·k survivor rows instead of every candidate — the
-    difference between shuffling ~10⁸ scored rows and ~10⁶ at heavy
-    fan-out (see tools/ann_scale_bench.py). Selection key is identical
-    to the window's (cosine DESC with Spark's NaN-greatest semantics,
-    id ASC), so the result is bit-identical to the plain-window plan.
+    ≤ partitions·|Q|·k survivor rows instead of every candidate — a
+    measured 121× row reduction at the heavy run (40M scored → 0.33M
+    shuffled, tools/ann_scale_bench.py). The default optimizes shuffle
+    bytes — the scarce shared resource on a real (network + disk
+    spill) cluster. On single-node page-cache shuffle the tradeoff
+    inverts: the same 10M×d64 run measured window 146.7 s vs partial
+    191.9 s best-of-2 interleaved (the Arrow round trip on every
+    candidate costs more than an in-memory shuffle), so local[·]
+    callers chasing wall clock should pass ``partial_topk=False``.
+    Selection key is identical to the window's (cosine DESC with
+    Spark's NaN-greatest semantics, id ASC), so the result is
+    bit-identical to the plain-window plan either way.
     Precondition: non-null cosine (null embedding elements would sort
     differently from NaN; all engine sources guarantee non-null)."""
     cand = scored.select(q_id, id_col, "cosine")
     if partial:
-        cand = cand.mapInPandas(_partial_topk_kernel(k, q_id, id_col), cand.schema)
+        cand = cand.mapInArrow(_partial_topk_kernel(k, q_id, id_col), cand.schema)
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         cand.withColumn("_rn", F.row_number().over(w))
