@@ -1,0 +1,173 @@
+"""Distributed prefix scan: global running totals and training-shard
+packing (engine-new; the training-data-pipeline family of SURVEY.md
+§2, same contract style as operators/dedup.py).
+
+Spark's own window API cannot express a GLOBAL cumulative sum at
+scale: ``Window.orderBy(id)`` with no ``partitionBy`` moves the whole
+table into ONE task (Spark emits the single-partition warning and the
+plan shows Exchange SinglePartition). This module implements the
+textbook two-phase parallel scan instead:
+
+1. range-repartition by the (unique) order key and sort within each
+   partition — the ONLY wide shuffle, data crosses the wire once;
+2. per-partition weight sums — a map-side aggregate whose result is
+   ≤ num_partitions rows (bounded by configuration, not data), the
+   one driver-side collect;
+3. broadcast the exclusive prefix offsets back and add a partition-
+   local cumulative sum in a single streaming Arrow pass (no second
+   shuffle; each task owns exactly one range of the key space).
+
+The result is exact and partitioning-independent as long as the order
+key is a total order (unique values): integer weights sum
+associatively, so the per-partition decomposition returns the same
+int64 as a serial left fold. Float weights are supported but carry
+the usual FP caveat (addition is not associative; the value can
+differ from a serial fold in the last ulp — use integer weights when
+an external engine must reproduce the numbers bit-for-bit).
+
+``pack_shards`` is the consumer this exists for: packing documents
+into fixed-size training shards (~N tokens each) needs every row's
+global start offset — exactly the exclusive running total — and at
+10^12 rows that must not serialize through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PID = "_scan_pid"
+
+
+def _is_integral(dt) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def running_total(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the inclusive global running total of ``weight_col`` in
+    ``order_col`` order (the SQL ``SUM(w) OVER (ORDER BY id ROWS
+    UNBOUNDED PRECEDING)`` with nulls counted as 0), computed as a
+    two-phase distributed scan — one range shuffle, one ≤P-row
+    collect, one map-only Arrow pass. ``order_col`` must be a total
+    order (unique); ties would make any engine's running total
+    ambiguous row-by-row.
+
+    Scale: the range partitioner samples the key distribution, so a
+    skewed key density still yields balanced partitions; phase-2
+    state is one scalar carry per task; the full rows cross the
+    executor-local Arrow boundary once (node-local, not a network
+    shuffle — strictly cheaper than the window-by-partition-id
+    alternative, which re-shuffles every row a second time).
+    """
+    wt = df.schema[weight_col].dataType
+    integral = _is_integral(wt)
+    if not integral and not isinstance(wt, (T.FloatType, T.DoubleType)):
+        raise TypeError(f"running_total: unsupported weight type {wt}")
+    out_type = T.LongType() if integral else T.DoubleType()
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # phase 1: the one wide shuffle — range partition + local sort,
+    # then freeze the partition assignment (both later passes must
+    # see the same pid stamps and row order)
+    d = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    # phase 2: per-partition sums — map-side combine, ≤ n rows out
+    sums = {
+        r[_PID]: r["_s"]
+        for r in d.groupBy(_PID)
+        .agg(F.sum(F.coalesce(F.col(weight_col), F.lit(0))).alias("_s"))
+        .collect()
+    }
+    zero = 0 if integral else 0.0
+    offsets: dict[int, int | float] = {}
+    acc = zero
+    for pid in range(n):
+        offsets[pid] = acc
+        acc += sums.get(pid, zero)
+
+    names = [f.name for f in d.schema.fields]
+    if out_col in names:
+        raise ValueError(f"running_total: column {out_col!r} already exists")
+    wx = names.index(weight_col)
+    px = names.index(_PID)
+    out_schema = T.StructType(list(d.schema.fields) + [T.StructField(out_col, out_type)])
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        npt = np.int64 if integral else np.float64
+        cur_pid, carry = None, npt(0)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            w = pc.fill_null(rb.column(wx), zero).to_numpy(zero_copy_only=False)
+            w = w.astype(npt, copy=False)
+            pid = rb.column(px).to_numpy(zero_copy_only=False)
+            run = np.cumsum(w)
+            # a task normally sees exactly one pid, but stay correct
+            # under any narrow partition merge: at each pid boundary
+            # restart the carry from that partition's exclusive offset
+            starts = np.flatnonzero(np.r_[True, pid[1:] != pid[:-1]])
+            bounds = np.r_[starts, len(run)]
+            raw_prefix = [run[s - 1] if s else npt(0) for s in starts]
+            for idx, s in enumerate(starts):
+                p = int(pid[s])
+                if p != cur_pid:
+                    cur_pid, carry = p, npt(offsets[p])
+                run[s : bounds[idx + 1]] += carry - raw_prefix[idx]
+                carry = run[bounds[idx + 1] - 1]
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [pa.array(run)], names=names + [out_col]
+            )
+
+    return d.mapInArrow(kernel, out_schema).drop(_PID)
+
+
+def pack_shards(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    shard_size: int,
+    out_col: str = "shard_id",
+    total_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row to a fixed-capacity training shard: shard_id =
+    (global start offset) // shard_size, where a row's start offset
+    is the exclusive running total of ``weight_col`` in ``order_col``
+    order. Deterministic, engine-reproducible (integer division on
+    the int64 scan for integral weights), and every shard holds
+    ~shard_size weight regardless of row-size skew — the standard
+    greedy token-packing contract for LLM training data.
+
+    The shard id is derived from the scan as a JVM codegen expression
+    (integer ``div`` for integral weights — no double rounding at
+    >2^53 totals), so the only Python stage is the scan's own
+    map-only cumsum pass."""
+    if shard_size <= 0:
+        raise ValueError("pack_shards: shard_size must be positive")
+    rt = running_total(df, order_col, weight_col, out_col=total_col, num_partitions=num_partitions)
+    start = F.col(total_col) - F.coalesce(F.col(weight_col), F.lit(0))
+    if _is_integral(df.schema[weight_col].dataType):
+        shard = F.expr(
+            f"({total_col} - coalesce({weight_col}, 0)) div {int(shard_size)}"
+        )
+    else:
+        shard = F.floor(start / F.lit(float(shard_size))).cast("long")
+    return rt.withColumn(out_col, shard)

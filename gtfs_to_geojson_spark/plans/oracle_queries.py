@@ -25,7 +25,7 @@ from pyspark.sql.functions import broadcast
 
 from .. import cells
 from ..functions.geo import haversine_m, sanitize_filename, yyyymmdd
-from ..operators import dedup, relational, similarity, spatial, text
+from ..operators import dedup, relational, scan, similarity, spatial, text
 
 # ---------------------------------------------------------------------------
 # deterministic key → coordinate derivation (identical in SQL)
@@ -1509,6 +1509,9 @@ _DRIVER_TAIL = [
     # r4 second addition: rest a 12th (g13 driver-green r1+r2+r3) so
     # the new embed_near_dup_ivf enters the window
     "g13_json_extract",
+    # r4 third addition: rest a 13th thrice-green veteran so the new
+    # scan_pack_shards (distributed prefix scan) enters the window
+    "text_quality",
 ]
 
 
@@ -2530,3 +2533,35 @@ def s11_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# coverage round 4: distributed prefix scan / training-shard packing
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scan_pack_shards",
+    """
+WITH t AS (
+  SELECT doc_id, COALESCE(n_chars, 0) AS w,
+         SUM(COALESCE(n_chars, 0))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS rt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(rt AS BIGINT) AS running_total,
+       CAST((rt - w) // 5000 AS BIGINT) AS shard_id
+FROM t
+""",
+)
+def scan_pack_shards(spark, sf_dir):
+    """Global running character total + fixed-capacity shard ids over
+    documents (operators/scan.py): the engine side is the two-phase
+    distributed scan (one range shuffle, ≤P-row offset collect, map-
+    only Arrow cumsum), the SQL twin is the serial window formulation
+    DuckDB executes in one task — int64 addition is associative, so
+    the decomposition must match the serial fold bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    out = scan.pack_shards(docs, "doc_id", "n_chars", shard_size=5000, num_partitions=8)
+    return out.select("doc_id", "running_total", "shard_id")
