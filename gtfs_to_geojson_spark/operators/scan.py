@@ -77,12 +77,18 @@ def running_total(
 
     # phase 1: the one wide shuffle — range partition + local sort,
     # then freeze the partition assignment (both later passes must
-    # see the same pid stamps and row order)
+    # see the same pid stamps and row order). MEMORY_AND_DISK (the
+    # SERIALIZED level for DataFrames) — the default deserialized
+    # checkpoint heap-caches every row object and OOMed a 400M-row
+    # local[32] run; serialized blocks spill cleanly and at cluster
+    # scale the frozen frame was never going to live on-heap anyway.
+    from pyspark.storagelevel import StorageLevel
+
     d = (
         df.repartitionByRange(n, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
 
     # phase 2: per-partition sums — map-side combine, ≤ n rows out

@@ -261,6 +261,189 @@ def ivf_topk(
     return _topk_select(scored, k, q_id, id_col, partial_topk)
 
 
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+    bucket_col: str | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column:
+    q = round(127 · v/‖v‖) per dimension, stored as a d-byte binary —
+    8× smaller than array<double> (the difference between scanning
+    100 TB of float vectors and 12.5 TB of codes at serving time).
+    Cosine survives exactly enough for candidate generation: unit-norm
+    components lie in [-1, 1], so one GLOBAL scale of 127 bounds the
+    per-dim error at 1/254 with no per-dim codebook to join against.
+
+    Pass ``centroids`` to also emit the vector's IVF home bucket in
+    the SAME Arrow pass (one corpus scan produces the entire serving
+    table: id, code, bucket). One map pass, no shuffle, no state."""
+    cn = None
+    if centroids is not None:
+        cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    elif bucket_col is not None:
+        raise ValueError("bucket_col requires centroids")
+
+    fields = [
+        T.StructField(id_col, emb.schema[id_col].dataType),
+        T.StructField(code_col, T.BinaryType()),
+    ]
+    if cn is not None:
+        fields.append(T.StructField(bucket_col or "_bucket", T.IntegerType()))
+    out_schema = T.StructType(fields)
+    src = emb.select(id_col, vec_col)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf[vec_col].to_numpy()), dtype=np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            codes = np.clip(np.rint(m * 127.0), -127, 127).astype(np.int8)
+            out = {
+                id_col: pdf[id_col],
+                code_col: [row.tobytes() for row in codes],
+            }
+            if cn is not None:
+                out[bucket_col or "_bucket"] = np.argmax(m @ cn.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(gen, out_schema)
+
+
+def _sq_score_kernel(q_codes: dict, dim: int, q_col: str, i_col: str):
+    """Arrow batch kernel: int8-code candidates vs the broadcast query
+    codes → approximate cosine. The GEMM runs in float32 — every int8
+    product (≤ 127² = 16129) and every partial sum of ≤ dim of them
+    stays below 2^24 for dim ≤ 1040, so float32 accumulation is EXACT
+    integer arithmetic, bit-reproducible on any BLAS."""
+    assert dim <= 1040, "float32 int-exactness bound"
+    qm = np.asarray([np.frombuffer(c, dtype=np.int8) for c in q_codes.values()], dtype=np.float32)
+    qn = np.maximum(np.sqrt((qm * qm).sum(axis=1)), 1e-12)
+    q_ids = np.asarray(list(q_codes.keys()))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.asarray(
+                [np.frombuffer(c, dtype=np.int8) for c in pdf["code"].to_numpy()],
+                dtype=np.float32,
+            )
+            cn_ = np.maximum(np.sqrt((cm * cm).sum(axis=1)), 1e-12)
+            qi = pdf[q_col].to_numpy()
+            # rows arrive grouped by query only within a batch slice;
+            # score each row against ITS query code via gather
+            pos = {int(q): j for j, q in enumerate(q_ids)}
+            sel = np.asarray([pos[int(q)] for q in qi])
+            dots = np.einsum("ij,ij->i", cm, qm[sel])
+            cos = (dots / (cn_ * qn[sel])).astype(np.float64)
+            yield pd.DataFrame(
+                {q_col: qi, i_col: pdf[i_col], "cosine": cos}
+            )
+
+    return fn
+
+
+def ivf_topk_sq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    train_iters: int = 0,
+    partial_topk: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF retrieval over int8-quantized codes with exact float
+    rescoring — the 100-TB serving plan: the wide scan touches only
+    the (id, code, bucket) table (8× fewer bytes than the float
+    vectors), the approximate scores shortlist k·refine candidates
+    per query, and ONLY that shortlist (|Q|·k·refine rows, broadcast
+    back) is rescored against the float vectors with the exact
+    JVM-codegen cosine. No wide shuffle anywhere: candidates flow
+    scan→score→partial-topk map-side; the rescore is a broadcast
+    semi-join (at 10^12 rows the float table would be id-partitioned
+    so the rescore read is targeted, not a second full scan — on this
+    sandbox's parquet it is a second column-pruned pass).
+
+    Exactness: with n_probe = n_centroids and k·refine ≥ the corpus
+    size the shortlist covers everything, so the exact rescore makes
+    the result IDENTICAL to brute force regardless of quantization
+    error — the degenerate config the `ann_ivf_sq` DuckDB oracle
+    pins (same promotion trick as ann_ivf_trained). The production
+    regime (bounded probe/refine) is recall-tested in pytest."""
+    if train_iters > 0:
+        cents = kmeans_centroids(emb, n_centroids, train_iters, id_col, vec_col)
+    else:
+        cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
+    codes = quantize_embeddings(
+        emb, id_col=id_col, vec_col=vec_col, bucket_col="_bucket", centroids=cents
+    )
+
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q_rows = queries.select(q_id, q_vec).collect()  # |Q| rows — queries are small by contract
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(q_id, queries.schema[q_id].dataType),
+                    T.StructField(id_col, emb.schema[id_col].dataType),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+    qm = np.asarray([list(r[q_vec]) for r in q_rows], dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    q_codes = {
+        r[q_id]: np.clip(np.rint(v * 127.0), -127, 127).astype(np.int8).tobytes()
+        for r, v in zip(q_rows, qm)
+    }
+    probe_idx = np.argsort(-(qm @ cn.T), axis=1)[:, :n_probe]
+    d = dim or (len(qm[0]) if len(q_rows) else 0)
+
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        [(r[q_id], [int(b) for b in row]) for r, row in zip(q_rows, probe_idx)],
+        schema=T.StructType(
+            [
+                T.StructField(q_id, queries.schema[q_id].dataType),
+                T.StructField("_probes", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+    ).select(q_id, F.explode("_probes").alias("_bucket"))
+
+    cand = codes.join(broadcast(probes), "_bucket").select(q_id, id_col, "code")
+    score_schema = T.StructType(
+        [
+            T.StructField(q_id, queries.schema[q_id].dataType),
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    scored = cand.mapInPandas(_sq_score_kernel(q_codes, d, q_id, id_col), score_schema)
+    shortlist = _topk_select(scored, k * refine, q_id, id_col, partial_topk).select(q_id, id_col)
+
+    # exact rescore: only |Q|·k·refine survivors touch the float table
+    qf = queries.select(q_id, q_vec)
+    rescored = (
+        emb.select(id_col, vec_col)
+        .join(broadcast(shortlist), id_col)
+        .join(broadcast(qf), q_id)
+        .withColumn("cosine", _cos_col(vec_col, q_vec, dim))
+    )
+    return _topk_select(rescored, k, q_id, id_col, partial=False)
+
+
 def near_dup_pairs_ivf(
     emb: DataFrame,
     threshold: float = 0.98,

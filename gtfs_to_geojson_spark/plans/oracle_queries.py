@@ -1512,6 +1512,10 @@ _DRIVER_TAIL = [
     # r4 third addition: rest a 13th thrice-green veteran so the new
     # scan_pack_shards (distributed prefix scan) enters the window
     "text_quality",
+    # r4 fourth addition: rest embed_near_dup (thrice-green; its
+    # exact-at-scale twin embed_near_dup_ivf stays in-window) so the
+    # new ann_ivf_sq (int8-quantized IVF + exact rescore) enters
+    "embed_near_dup",
 ]
 
 
@@ -2565,3 +2569,40 @@ def scan_pack_shards(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = scan.pack_shards(docs, "doc_id", "n_chars", shard_size=5000, num_partitions=8)
     return out.select("doc_id", "running_total", "shard_id")
+
+
+# ---- ANN: int8 scalar-quantized IVF with exact rescore ----
+# Same oracle-promotion trick as ann_ivf_trained: with n_probe =
+# n_centroids (all buckets probed) and k·refine ≥ |corpus| the int8
+# approximate stage only SHORTLISTS — and shortlists everything — so
+# the exact float64 rescore determines the result and the whole
+# quantize → int8-GEMM → rescore pipeline must reproduce brute-force
+# cosine top-k exactly, independent of quantization error. The
+# production regime (bounded n_probe/refine, where int8 error could
+# in principle cost recall) is pinned by
+# test_dedup_text.py::test_ivf_topk_sq_recall_production_regime.
+@q(
+    "ann_ivf_sq",
+    """
+SELECT q_id, vec_id, rank FROM (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                    e.vec_id
+         ) AS rank
+  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+) WHERE rank <= 5
+""",
+)
+def ann_ivf_sq(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.ivf_topk_sq(
+        emb, queries, k=5, n_centroids=8, n_probe=8, refine=100
+    )
+    return out.select("q_id", "vec_id", "rank")

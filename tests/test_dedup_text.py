@@ -563,3 +563,78 @@ def test_near_dup_ivf_edges(spark, emb):
         schema="vec_id long, embedding array<double>",
     )
     assert similarity.near_dup_pairs_ivf(one, threshold=0.9, n_centroids=4).count() == 0
+
+
+def test_quantize_embeddings_codes(spark, emb):
+    codes = similarity.quantize_embeddings(emb).toPandas().set_index("vec_id")
+    raw = emb.toPandas().set_index("vec_id")
+    assert (codes["code"].str.len() == 16).all()  # d bytes per vector
+    for vid in (0, 5, 17):
+        q = np.frombuffer(codes.loc[vid, "code"], dtype=np.int8).astype(np.float64)
+        v = np.asarray(raw.loc[vid, "embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        # symmetric scale-127 rounding: per-dim error ≤ 0.5/127
+        assert np.abs(q / 127.0 - v).max() <= 0.5 / 127.0 + 1e-12
+
+
+def test_quantize_embeddings_with_buckets(spark, emb):
+    cents = similarity.seeded_centroids(emb, 4, "vec_id", "embedding")
+    out = similarity.quantize_embeddings(
+        emb, bucket_col="bucket", centroids=cents
+    ).toPandas()
+    assert set(out.columns) == {"vec_id", "code", "bucket"}
+    assert out["bucket"].between(0, 3).all()
+    # bucket must equal the float-path IVF assignment (same argmax)
+    assign = similarity.ivf_assign_udf(cents)
+    want = (
+        emb.select("vec_id", assign(F.col("embedding")).alias("b"))
+        .toPandas().set_index("vec_id")["b"]
+    )
+    got = out.set_index("vec_id")["bucket"]
+    assert (got.sort_index() == want.sort_index()).all()
+
+
+def test_ivf_topk_sq_degenerate_is_exact(spark, emb):
+    """n_probe = n_centroids and k·refine ≥ corpus ⇒ the int8 stage
+    only shortlists (everything), and the exact float rescore makes
+    the result identical to brute force — the ann_ivf_sq oracle's
+    contract, checked here against the engine's own brute path."""
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    a = (
+        similarity.ivf_topk_sq(
+            emb.repartition(7), queries, k=4, n_centroids=4, n_probe=4, refine=10
+        )
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        similarity.brute_force_topk(emb, queries, k=4)
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_topk_sq_recall_production_regime(spark, emb_clustered):
+    """Bounded probe + bounded refine on the clustered corpus: the
+    int8 shortlist must not cost recall@5 vs exact brute force
+    (clusters are well-separated; quantization error 1/254 ≪ the
+    inter-cluster cosine gaps)."""
+    df, _ = emb_clustered
+    queries = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    sq = similarity.ivf_topk_sq(
+        df, queries, k=5, n_centroids=12, n_probe=4, refine=4, train_iters=2
+    ).toPandas()
+    truth = similarity.brute_force_topk(df, queries, k=5).toPandas()
+    got = {(q, v) for q, v in zip(sq.q_id, sq.vec_id)}
+    want = {(q, v) for q, v in zip(truth.q_id, truth.vec_id)}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, recall
+    # rank-1 must match exact brute force pairwise (not necessarily
+    # self: q=200 is a planted EXACT duplicate of vec 0, so both paths
+    # tie at cosine 1.0 and break to the smaller id)
+    r1 = sq[sq["rank"] == 1].set_index("q_id")["vec_id"]
+    t1 = truth[truth["rank"] == 1].set_index("q_id")["vec_id"]
+    assert (r1.sort_index() == t1.sort_index()).all()
