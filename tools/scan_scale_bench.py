@@ -48,7 +48,12 @@ def main():
         master=f"local[{cpus}]",
         app_name="scan-scale-bench",
         shuffle_partitions=cpus * 4,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # surface Python-worker crashes as tracebacks, not broken pipes
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+            "spark.python.worker.faulthandler.enabled": "true",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
