@@ -97,6 +97,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def word_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """Word (whitespace-token) n-grams per document as (id, gram) rows
+    — pure Column (split + sequence + slice + array_join + explode),
+    no UDF, so gram generation is a map-only stage that pipelines into
+    whatever join or aggregate consumes it.
+
+    A doc with fewer than ``n`` tokens emits no grams (guarded
+    explicitly: Spark's ``sequence(1, m)`` with m < 1 would count
+    DOWN, not return empty)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    m = F.size(toks) - n + 1
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams) if distinct else grams).alias("gram"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: training docs sharing ≥1 word n-gram
+    with ANY eval/benchmark doc, as (id, n_contaminated) — the number
+    of distinct contaminated grams per training doc. Anti-join the
+    result against the corpus to drop them (real pipelines use
+    n = 8–13; the oracle query uses n=3 because the synthetic corpus'
+    31-word vocabulary makes longer exact grams vanishingly rare).
+
+    Scale shape (the 100-TB story): the eval side is bounded
+    (benchmarks are ~1e4–1e6 docs), so its distinct-gram set is
+    broadcast — the train side's exploded grams are consumed by a
+    broadcast hash join in the SAME map stage that generated them,
+    never shuffled; the only shuffle is the partial-aggregated
+    per-doc hit count over join SURVIVORS (≪ corpus grams). With
+    ``broadcast_eval=False`` it degrades to a sort-merge join on the
+    gram for the rare huge-eval-set case."""
+    tg = word_ngrams(train, n=n, text_col=text_col, id_col=id_col)
+    eg = word_ngrams(eval_docs, n=n, text_col=text_col, id_col=id_col).select("gram").distinct()
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
 def _md5_long(col, lo: int = 1, n_hex: int = 15):
     """First 15 hex chars of md5 as a non-negative long — engine-stable
     (DuckDB: ('0x' || substr(md5(x), lo, n))::BIGINT)."""

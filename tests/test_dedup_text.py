@@ -638,3 +638,69 @@ def test_ivf_topk_sq_recall_production_regime(spark, emb_clustered):
     r1 = sq[sq["rank"] == 1].set_index("q_id")["vec_id"]
     t1 = truth[truth["rank"] == 1].set_index("q_id")["vec_id"]
     assert (r1.sort_index() == t1.sort_index()).all()
+
+
+def test_word_ngrams_short_doc_and_distinct(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a b"), (1, "a b c a b c"), (2, "x")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = dedup.word_ngrams(df, n=3).toPandas()
+    # doc 0 (2 tokens) and doc 2 (1 token) emit nothing; doc 1 emits
+    # distinct 3-grams only (the repeated "a b c" collapses)
+    assert set(out.doc_id) == {1}
+    assert set(out.gram) == {"a b c", "b c a", "c a b"}
+    dup = dedup.word_ngrams(df, n=3, distinct=False).toPandas()
+    assert len(dup[dup.doc_id == 1]) == 4  # 6 tokens -> 4 grams, "a b c" twice
+
+
+def test_decontaminate_counts_and_broadcast_plan(spark):
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (10, "the quick brown fox jumps"),   # shares 2 grams with eval 0
+                (11, "quick brown fox sleeps now"),  # shares 1 gram
+                (12, "nothing in common here at all"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame([(0, "the quick brown fox runs")], columns=["doc_id", "text"])
+    )
+    out = dedup.decontaminate(train, ev, n=3).toPandas().set_index("doc_id")
+    # eval grams: {the quick brown, quick brown fox, brown fox runs}
+    assert out.loc[10, "n_contaminated"] == 2
+    assert out.loc[11, "n_contaminated"] == 1
+    assert 12 not in out.index
+    plan = dedup.decontaminate(train, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "a a a a"),          # all dup words; top bigram "a a" = 3/3
+                (1, "a b c d"),          # no dups; every bigram unique -> 1/3
+                (2, "x"),                # 1 token: no bigrams -> frac 0
+                (3, "go go stop go go"), # 5 words, 2 distinct; "go go" 2 of 4
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = text.repetition_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_words"] == 4
+    assert out.loc[0, "dup_word_frac"] == 0.75
+    assert out.loc[0, "top_bigram_frac"] == 1.0
+    assert out.loc[1, "dup_word_frac"] == 0.0
+    assert out.loc[1, "top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out.loc[2, "n_words"] == 1
+    assert out.loc[2, "top_bigram_frac"] == 0.0
+    assert out.loc[3, "dup_word_frac"] == 0.6
+    assert out.loc[3, "top_bigram_frac"] == 0.5
+    # append=True keeps input columns and chains in one map stage
+    app = text.repetition_stats(df, append=True)
+    assert set(app.columns) == {"doc_id", "text", "n_words", "dup_word_frac", "top_bigram_frac"}
