@@ -50,11 +50,17 @@ def main():
     docs = spark.read.parquet(docs_path)
 
     t0 = time.time()
-    feats = text.fingerprint(
-        text.token_count(
-            text.quality_score(text.lang_id(docs, append=True), append=True),
+    # .drop("n_words"): quality_score and repetition_stats both emit it
+    # (same formula) — the append-collision guard would fire; the drop
+    # is a projection inside the same map stage
+    feats = text.repetition_stats(
+        text.fingerprint(
+            text.token_count(
+                text.quality_score(text.lang_id(docs, append=True), append=True),
+                append=True,
+            ),
             append=True,
-        ),
+        ).drop("n_words"),
         append=True,
     )
     # aggregate instead of count(): count() would let Catalyst prune
@@ -67,6 +73,8 @@ def main():
         F.sum(F.col("stopword_ratio").cast("double")).alias("s"),
         F.count_distinct("fingerprint").alias("fp"),
         F.count_distinct("pred_lang").alias("langs"),
+        F.sum("dup_word_frac").alias("dw"),
+        F.sum("top_bigram_frac").alias("tb"),
     ).collect()[0]
     dt = time.time() - t0
 
@@ -76,6 +84,8 @@ def main():
         "docs_per_sec": round(n_docs / dt, 0),
         "distinct_fingerprints": row["fp"],
         "distinct_langs": row["langs"],
+        "mean_dup_word_frac": round(row["dw"] / n_docs, 4),
+        "mean_top_bigram_frac": round(row["tb"] / n_docs, 4),
     }
     assert row["n"] == n_docs
     print(json.dumps(out))
