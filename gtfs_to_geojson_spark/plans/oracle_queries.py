@@ -1522,6 +1522,11 @@ _DRIVER_TAIL = [
     # text_repetition queries get driver rows in CORRECTNESS_r04
     "text_fingerprint",
     "asof_join",
+    # r4 sixth addition: rest w1_tumbling_window (thrice-green; its
+    # family keeps w2_sessionize AND s11_session_window in-window) so
+    # the new end-to-end curate_pipeline composition gets its driver
+    # row in CORRECTNESS_r04
+    "w1_tumbling_window",
 ]
 
 
@@ -2676,3 +2681,147 @@ FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
 def text_repetition(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text.repetition_stats(docs)
+
+
+# ---- END-TO-END corpus curation pipeline (exact oracle) ----
+# The full training-data curation chain as ONE driver-checked query —
+# the composition jobs/curate_corpus_job.py runs at cluster scale:
+#   exact dedup → MinHash-LSH near-dup clustering (keep the min-id
+#   member per component) → repetition quality filter → test-set
+#   decontamination → token counting → greedy shard packing.
+# Every stage reuses the operator already pinned by its own oracle
+# (dedup_exact, minhash_lsh_pairs, dedup_clusters, text_repetition,
+# decontam_ngrams, text_token_count, scan_pack_shards); this query
+# pins the COMPOSITION — survivor sets feeding the next stage, and
+# the final (doc_id, running_total, shard_id) assignment, which is
+# sensitive to every upstream drop decision. doc_id < 200 bounds the
+# recursive-CTE transitive closure like dedup_clusters; the eval
+# "benchmark" slice is the deterministic doc_id % 97 == 0 split like
+# decontam_ngrams.
+_CURATE_SQL = rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND doc_id % 97 != 0
+), ev AS (
+  SELECT text FROM documents WHERE doc_id < 200 AND doc_id % 97 = 0
+), exact AS (
+  SELECT d.doc_id, d.text FROM d
+  JOIN (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)) k USING (doc_id)
+), sh0 AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 3, 1) + 1),
+                        s -> substr(lower(text), s, 4))) AS shingle
+  FROM exact
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE length(shingle) = 4
+), sig AS (
+  SELECT doc_id,
+       {_MH_HASHES}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id,
+       {_MH_BANDS}
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b, ({_MH_AGREE}) / 16.0 AS ej
+    FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+  ) WHERE ej >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), near AS (
+  SELECT e.doc_id, e.text FROM exact e LEFT JOIN comp c USING (doc_id)
+  WHERE coalesce(c.cluster_id, e.doc_id) = e.doc_id
+), rep AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+         round(1.0 - CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6) AS dwf
+  FROM near
+), clean AS (
+  SELECT doc_id, text FROM rep WHERE n_words >= 2 AND dwf <= 0.9
+), ctoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM clean
+), etoks AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM ev
+), tg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram
+    FROM ctoks)
+), eg AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram
+    FROM etoks)
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM tg JOIN eg USING (gram)
+), surv AS (
+  SELECT c.doc_id, c.text FROM clean c LEFT JOIN contaminated x USING (doc_id)
+  WHERE x.doc_id IS NULL
+), w AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens
+  FROM surv
+), t2 AS (
+  SELECT doc_id, ws_tokens,
+         sum(ws_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+  FROM w
+)
+SELECT doc_id, CAST(rt AS BIGINT) AS running_total,
+       CAST((rt - ws_tokens) // 1000 AS BIGINT) AS shard_id
+FROM t2
+"""
+
+
+@q("curate_pipeline", _CURATE_SQL)
+def curate_pipeline(spark, sf_dir):
+    """End-to-end curation composition (jobs/curate_corpus_job.py) as
+    one DataFrame: survivors of exact dedup → LSH near-dup clustering
+    → repetition filter → decontamination, packed into ~1000-token
+    shards. The SQL twin re-derives every stage independently, so a
+    hash match pins the whole pipeline's drop/keep decisions and the
+    final shard assignment."""
+    from ..operators import graph
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+
+    keep = dedup.exact_dedup(train).select(F.col("keep_id").alias("doc_id"))
+    exact = train.join(keep, "doc_id", "left_semi")
+
+    lsh_pairs = dedup.minhash_lsh_pairs(exact, n_hashes=16, bands=4, threshold=0.5)
+    cc = graph.connected_components(lsh_pairs, src="id_a", dst="id_b")
+    non_canonical = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    near = exact.join(non_canonical, "doc_id", "left_anti")
+
+    feats = text.repetition_stats(near, append=True)
+    clean = feats.filter(
+        (F.col("n_words") >= 2) & (F.col("dup_word_frac") <= 0.9)
+    ).select("doc_id", "text")
+
+    hits = dedup.decontaminate(clean, eval_docs, n=3).select("doc_id")
+    surv = clean.join(hits, "doc_id", "left_anti")
+
+    toks = text.token_count(surv, append=True)
+    out = scan.pack_shards(
+        toks, order_col="doc_id", weight_col="ws_tokens", shard_size=1000,
+        num_partitions=8,
+    )
+    return out.select("doc_id", "running_total", "shard_id")
