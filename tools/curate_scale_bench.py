@@ -86,6 +86,13 @@ def run_job(docs, out, ev, resume=False):
         sys.executable, "jobs/curate_corpus_job.py",
         "--docs", docs, "--out", out, "--eval", ev,
         "--decontam-n", "2", "--min-words", "2", "--max-dup-word-frac", "0.9",
+        # 8-gram shingles, not the 4-gram default: the corpus-sizing
+        # lesson from the 50M dedup run (BENCH/ROBUSTNESS.md) measured
+        # live here too — at 5M hex-word docs, 4-gram background
+        # similarity (universe 17^4) let ~113 accidental pairs through
+        # 16-hash/4-band LSH and broke the closed-form stage counts;
+        # 8-gram shingles push expected accidentals corpus-wide to ~1e-4
+        "--shingle-n", "8",
         "--shard-tokens", os.environ.get("SPARK_GRAFT_SHARD_TOKENS", "1000000"),
         "--shuffle-partitions", "64",
     ] + (["--resume"] if resume else [])
