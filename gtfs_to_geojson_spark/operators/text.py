@@ -207,6 +207,76 @@ def repetition_stats(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    log_idf: bool = True,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF (keyword
+    extraction / topicality scoring for corpus curation). Returns
+    (id, term_rank, term, tf, df, tfidf) — ``term_rank`` is 1-based,
+    ordered by score DESC with an exact deterministic tie-break on
+    term ASC.
+
+    Scale shape: term counts are one (id, term) groupBy with map-side
+    partial aggregation; the document-frequency side has ONE row per
+    term, so the tf⋈df join can never explode — by default it is a
+    shuffled join (AQE handles any residual skew; the right choice
+    when the token vocabulary is web-scale unbounded), or pass
+    ``broadcast_vocab=True`` when the vocabulary is known-bounded to
+    skip the corpus-side term shuffle entirely. The corpus size N
+    enters as a broadcast 1-row aggregate (crossJoin) — never a
+    driver-side collect. Per-doc top-k is a row_number window keyed
+    on the id.
+
+    ``log_idf=False`` scores tf·(N+1)/(df+1) — pure IEEE rational
+    arithmetic, bit-identical across engines, so the DuckDB oracle
+    pins it exactly (`tfidf_topk` in oracle_queries). ``log_idf=True``
+    is the standard tf·(ln((N+1)/(df+1))+1), pinned in pytest against
+    math.log (ln is correctly-rounded-per-libm, not cross-engine
+    bit-stable, so it stays out of the hash gate)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    ratio = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    idf = (F.log(ratio) + F.lit(1.0)) if log_idf else ratio
+    dim = F.broadcast(dfreq) if broadcast_vocab else dfreq
+    scored = (
+        tf.join(dim, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (F.col("tf") * idf).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term_rank"),
+            F.col("term"),
+            F.col("tf"),
+            F.col("df"),
+            F.round(F.col("score"), 6).alias("tfidf"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -1527,6 +1527,10 @@ _DRIVER_TAIL = [
     # the new end-to-end curate_pipeline composition gets its driver
     # row in CORRECTNESS_r04
     "w1_tumbling_window",
+    # r4 seventh addition: rest ann_brute_topk (thrice-green; the ANN
+    # family keeps ann_ivf_topk, ann_ivf_trained AND ann_ivf_sq
+    # in-window) so the new tfidf_topk gets its driver row
+    "ann_brute_topk",
 ]
 
 
@@ -2825,3 +2829,49 @@ def curate_pipeline(spark, sf_dir):
         num_partitions=8,
     )
     return out.select("doc_id", "running_total", "shard_id")
+
+
+# ---- TF-IDF top-k characteristic terms per document ----
+# log_idf=False in the pinned config: the score tf·(N+1)/(df+1) is
+# pure IEEE rational arithmetic (division + multiplication, both
+# correctly-rounded and engine-identical), so ranking AND the rounded
+# score hash-match exactly. The ln variant (operator default) is
+# pinned in pytest against math.log instead — transcendentals stay out
+# of the cross-engine hash gate. Positive scores only, so Spark
+# HALF_UP and DuckDB half-away-from-zero rounding agree.
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term != '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * (n.n_docs + 1.0) / (dfreq.df + 1.0) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, CAST(term_rank AS INT) AS term_rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS tfidf
+FROM ranked WHERE term_rank <= 3
+"""
+
+
+@q("tfidf_topk", _TFIDF_SQL)
+def tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF
+    (operators/text.py:tfidf_topk) — keyword extraction over the
+    documents table, deterministic (score DESC, term ASC) ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, k=3, log_idf=False, broadcast_vocab=True)

@@ -704,3 +704,81 @@ def test_repetition_stats_hand_computed(spark):
     # append=True keeps input columns and chains in one map stage
     app = text.repetition_stats(df, append=True)
     assert set(app.columns) == {"doc_id", "text", "n_words", "dup_word_frac", "top_bigram_frac"}
+
+
+def test_tfidf_topk_hand_computed(spark):
+    # corpus of 3 docs; df: apple=2, banana=1, the=3
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "the apple the banana"),
+                (1, "the apple"),
+                (2, "the the the"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = (
+        text.tfidf_topk(df, k=2, log_idf=False)
+        .toPandas()
+        .set_index(["doc_id", "term_rank"])
+        .sort_index()
+    )
+    # rational idf = (N+1)/(df+1) with N=3: apple 4/3, banana 2, the 1
+    # doc 0 scores: the 2*1=2, apple 4/3, banana 2 -> rank1 banana
+    # (tie 2.0 vs 2.0 broken by term asc), rank2 "the"
+    assert out.loc[(0, 1), "term"] == "banana"
+    assert out.loc[(0, 1), "tfidf"] == 2.0
+    assert out.loc[(0, 2), "term"] == "the"
+    assert out.loc[(0, 2), "tfidf"] == 2.0
+    # doc 1: apple 4/3 ~ 1.333333 > the 1
+    assert out.loc[(1, 1), "term"] == "apple"
+    assert out.loc[(1, 1), "tfidf"] == pytest.approx(4 / 3, abs=1e-6)
+    assert out.loc[(1, 2), "term"] == "the"
+    # doc 2: only "the", tf 3 -> 3.0; exactly one row
+    assert out.loc[(2, 1), "term"] == "the"
+    assert out.loc[(2, 1), "tfidf"] == 3.0
+    assert (2, 2) not in out.index
+    assert {c for c in out.reset_index().columns} == {
+        "doc_id", "term_rank", "term", "tf", "df", "tfidf"
+    }
+
+
+def test_tfidf_log_variant_matches_math_log(spark):
+    import math
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "the apple the banana"), (1, "the apple"), (2, "the the the")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = text.tfidf_topk(df, k=10, log_idf=True).toPandas()
+    n = 3
+    dfreq = {"the": 3, "apple": 2, "banana": 1}
+    tf = {
+        (0, "the"): 2, (0, "apple"): 1, (0, "banana"): 1,
+        (1, "the"): 1, (1, "apple"): 1, (2, "the"): 3,
+    }
+    for _, r in out.iterrows():
+        exp = tf[(r.doc_id, r.term)] * (math.log((n + 1) / (dfreq[r.term] + 1)) + 1)
+        # output is rounded to 6 decimals
+        assert r.tfidf == pytest.approx(exp, abs=5e-7), (r.doc_id, r.term)
+    # broadcast_vocab=True plans the term join as a broadcast
+    plan = (
+        text.tfidf_topk(df, k=2, broadcast_vocab=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_empty_and_blank_docs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, "solo token"), (1, "   "), (2, "")], columns=["doc_id", "text"])
+    )
+    out = text.tfidf_topk(df, k=5, log_idf=False).toPandas()
+    # blank docs emit no term rows but still count toward N (=3)
+    assert set(out.doc_id) == {0}
+    assert len(out) == 2
+    # idf = (3+1)/(1+1) = 2 for both unique terms, tf 1 -> score 2.0
+    assert set(out.tfidf) == {2.0}
