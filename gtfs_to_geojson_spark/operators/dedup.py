@@ -161,6 +161,120 @@ def decontaminate(
     )
 
 
+def _bloom_positions(key_col, n_bits: int, n_hashes: int) -> list:
+    """The ``n_hashes`` Bloom bit positions of a key as Column
+    expressions — xxhash64 with the hash index as a leading literal
+    (xxhash64 is variadic, so (i, key) gives n_hashes independent
+    64-bit hashes in one codegen expression each), folded into
+    [0, n_bits) with pmod (xxhash64 can be negative)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key_col), F.lit(n_bits)).cast("long")
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, n_bits: int = 1 << 23, n_hashes: int = 5
+) -> DataFrame:
+    """Bloom filter over a key column as a ONE-ROW DataFrame
+    ``(words: map<long,long>)`` — built entirely as a DataFrame
+    aggregation: explode each key into its n_hashes bit positions,
+    bit_or the 64-bit words per word index (map-side partial agg), and
+    fold the sparse set-word list into a single map row. No driver
+    collect, no UDF, no Python: the filter itself is computed
+    distributed and only the finished O(n_bits/64)-entry map crosses
+    the shuffle into the final row.
+
+    Why not ``df.stat.bloomFilter`` / ``bloom_filter_agg``: neither is
+    exposed to PySpark 4.1 (the aggregate is internal-only,
+    UNRESOLVED_ROUTINE from SQL), and this construction keeps the probe
+    side (see bloom_probe) in whole-stage codegen too.
+
+    Sizing: false-positive rate ≈ (1 - e^(-kn/m))^k for n keys,
+    m = n_bits, k = n_hashes; m = 10n bits with k = 5 gives ~1%.
+    Exactness downstream never depends on the rate — decontaminate_
+    bloom verifies survivors — so undersizing costs time, not
+    correctness."""
+    if n_bits < 64 or n_bits % 64:
+        raise ValueError(f"n_bits must be a positive multiple of 64, got {n_bits}")
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), n_bits, n_hashes))).alias("pos")
+    words = (
+        keys.select(pos)
+        .groupBy(F.shiftright("pos", 6).alias("word_idx"))
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("words")
+    )
+
+
+def bloom_probe(
+    df: DataFrame, key_col: str, bloom: DataFrame, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """Rows of ``df`` whose key MIGHT be in the Bloom filter built by
+    bloom_build (same n_bits/n_hashes — the caller owns keeping them in
+    sync). The one-row filter frame is broadcast and attached with a
+    trivial 1-row nested-loop join, so the probe — n_hashes
+    element_at + bit tests per row — runs inside the SAME codegen map
+    stage as whatever produced ``df``: nothing shuffles, and misses
+    (the overwhelming majority in a decontamination scan) die before
+    any downstream join sees them. No false negatives ever; false
+    positives per the bloom_build sizing note."""
+    hit = None
+    for i in range(n_hashes):
+        pos = f"pmod(xxhash64({i}, `{key_col}`), CAST({n_bits} AS BIGINT))"
+        word = F.coalesce(
+            F.element_at(F.col("_bloom_words"), F.expr(f"shiftright({pos}, 6)")),
+            F.lit(0).cast("long"),
+        )
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))")
+        test = word.bitwiseAND(mask) != 0
+        hit = test if hit is None else (hit & test)
+    return (
+        df.join(F.broadcast(bloom.select(F.col("words").alias("_bloom_words"))))
+        .where(hit)
+        .drop("_bloom_words")
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """decontaminate() for the huge-eval-set regime, bit-identical
+    output: (id, n_contaminated distinct grams shared with any eval
+    doc).
+
+    Scale shape: plain decontaminate() broadcasts the eval gram set as
+    a hash-join build side — fine to ~1e7 grams, impossible at 1e8–1e9
+    (a multi-GB string hash map per executor). Here the eval grams are
+    folded into an m-bit Bloom (~10 bits/gram — 1e9 grams ≈ 1.25 GB,
+    still broadcastable where the exact set is not), the corpus gram
+    stream is prefiltered map-side by bloom_probe (no shuffle, ~99% of
+    grams die in the scan stage), and only the surviving ~(true hits +
+    fp·corpus_grams) rows pay the exact equi-join against the eval
+    gram set that restores exactness. The verify join shuffles
+    survivors instead of the full 10^13-gram corpus stream — that join
+    is what broadcast_eval=False would have sort-merged in full.
+
+    Callers at scale should persist the eval gram frame: it is
+    consumed twice (bloom build + verify join)."""
+    tg = word_ngrams(train, n=n, text_col=text_col, id_col=id_col)
+    eg = word_ngrams(eval_docs, n=n, text_col=text_col, id_col=id_col).select("gram").distinct()
+    bloom = bloom_build(eg, "gram", n_bits=n_bits, n_hashes=n_hashes)
+    survivors = bloom_probe(tg, "gram", bloom, n_bits=n_bits, n_hashes=n_hashes)
+    return (
+        survivors.join(eg, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
 def _md5_long(col, lo: int = 1, n_hex: int = 15):
     """First 15 hex chars of md5 as a non-negative long — engine-stable
     (DuckDB: ('0x' || substr(md5(x), lo, n))::BIGINT)."""

@@ -1531,6 +1531,12 @@ _DRIVER_TAIL = [
     # family keeps ann_ivf_topk, ann_ivf_trained AND ann_ivf_sq
     # in-window) so the new tfidf_topk gets its driver row
     "ann_brute_topk",
+    # r4 eighth addition: rest dedup_ngram_jaccard (thrice-green; the
+    # dedup family keeps minhash_lsh_pairs, simhash_pairs,
+    # dedup_clusters AND phash_near_dup in-window) so the new
+    # decontam_bloom (Bloom-prefiltered decontamination, exact via
+    # survivor verify) gets its driver row
+    "dedup_ngram_jaccard",
 ]
 
 
@@ -2653,6 +2659,42 @@ def decontam_ngrams(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 97 != 0)
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
     return dedup.decontaminate(train, eval_docs, n=3)
+
+
+# ---- dedup: Bloom-prefiltered decontamination (huge-eval regime) ----
+# Same oracle as decontam_ngrams because the operator is EXACT by
+# construction: the Bloom prefilter (built as a DataFrame aggregation,
+# broadcast as a one-row map, probed in codegen — dedup.bloom_build /
+# bloom_probe) admits false positives but never false negatives, and
+# survivors are verified by an equi-join against the true eval gram
+# set.  n_bits is deliberately undersized (2^12 bits for ~1-2k eval
+# grams at sf0.01 → double-digit-% fp rate) so the driver row pins the
+# verify path actually removing Bloom false positives, not a
+# passthrough.
+@q(
+    "decontam_bloom",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram
+  FROM toks
+), tg AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 != 0
+), eg AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+)
+SELECT doc_id, count(*) AS n_contaminated
+FROM tg JOIN eg USING (gram)
+GROUP BY doc_id
+""",
+)
+def decontam_bloom(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate_bloom(train, eval_docs, n=3, n_bits=1 << 12, n_hashes=3)
 
 
 # ---- text: repetition quality stats (Gopher-style filters) ----

@@ -679,6 +679,69 @@ def test_decontaminate_counts_and_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bloom_no_false_negatives_and_codegen_probe(spark):
+    keys = spark.range(400).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("gram")
+    )
+    bloom = dedup.bloom_build(keys, "gram", n_bits=4096, n_hashes=3)
+    probe = spark.range(4000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("gram")
+    )
+    surv = dedup.bloom_probe(probe, "gram", bloom, n_bits=4096, n_hashes=3)
+    # every inserted key survives (Bloom never false-negatives) ...
+    assert keys.join(surv, "gram", "left_anti").count() == 0
+    # ... and at m=4096 / n=400 / k=3 some non-members leak through
+    # (otherwise the exactness test below would be vacuous)
+    n_surv = surv.count()
+    assert 400 <= n_surv < 4000
+    # the probe is pure JVM: predicate fused into a 1-row broadcast
+    # nested-loop join, no Python eval anywhere
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_bloom_build_rejects_bad_n_bits(spark):
+    keys = spark.range(4).select(F.col("id").cast("string").alias("gram"))
+    with pytest.raises(ValueError):
+        dedup.bloom_build(keys, "gram", n_bits=100, n_hashes=2)
+    with pytest.raises(ValueError):
+        dedup.bloom_build(keys, "gram", n_bits=0, n_hashes=2)
+
+
+def test_decontaminate_bloom_identical_to_exact_even_undersized(spark):
+    # 300 docs over a 40-word vocabulary: dense gram overlap between
+    # the train and eval slices, plus docs with none
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 13 == 0, F.concat(F.lit("unique"), F.col("id").cast("string"))
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("w"), ((F.col("id") + i * 7) % 40).cast("string"))
+                    for i in range(12)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") % 9 != 0)
+    ev = docs.filter(F.col("doc_id") % 9 == 0)
+    exact = dedup.decontaminate(train, ev, n=3).orderBy("doc_id").collect()
+    # 256-bit bloom over hundreds of grams: massive false-positive
+    # rate, so the verify join does real work — result must still be
+    # bit-identical to the exact path
+    bloom = (
+        dedup.decontaminate_bloom(train, ev, n=3, n_bits=256, n_hashes=2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert exact == bloom and len(exact) > 0
+
+
 def test_repetition_stats_hand_computed(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
