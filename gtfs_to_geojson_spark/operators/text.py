@@ -207,6 +207,43 @@ def repetition_stats(
     )
 
 
+# PII patterns restricted to the regex subset where Java (Spark) and
+# RE2 (DuckDB, the oracle) agree exactly: character classes, bounded/
+# unbounded counted repeats, ASCII \b. No backrefs, no lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", append: bool = False
+) -> DataFrame:
+    """PII detection + redaction — per doc, the match count of each
+    pattern on the ORIGINAL text (n_email, n_ssn, n_ipv4, n_phone) and
+    the text with every match replaced by its typed placeholder, in
+    the fixed PII_PATTERNS order (email first, so its digit runs are
+    gone before the phone/ip patterns scan).
+
+    Pure-Column (regexp_count + chained regexp_replace), so it fuses
+    into the same single map stage as the other text ops under
+    ``append=True`` — a 100-TB scrub is a scan with zero shuffle.
+    Counts may overlap when one substring matches two patterns; both
+    engines count identically, and redaction (sequential) never
+    double-replaces."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return _emit(docs, id_col, counts + [red.alias("redacted")], append)
+
+
 def tfidf_topk(
     docs: DataFrame,
     k: int = 5,

@@ -1537,6 +1537,10 @@ _DRIVER_TAIL = [
     # decontam_bloom (Bloom-prefiltered decontamination, exact via
     # survivor verify) gets its driver row
     "dedup_ngram_jaccard",
+    # r4 ninth addition: rest w2_sessionize (thrice-green; the
+    # session family keeps s11_session_window in-window) so the new
+    # text_pii_scrub (PII detection + redaction) gets its driver row
+    "w2_sessionize",
 ]
 
 
@@ -2917,3 +2921,82 @@ def tfidf_topk(spark, sf_dir):
     documents table, deterministic (score DESC, term ASC) ranking."""
     docs = _t(spark, sf_dir, "documents")
     return text.tfidf_topk(docs, k=3, log_idf=False, broadcast_vocab=True)
+
+
+# ---- text: PII detection + redaction ----
+# The synthetic documents carry no PII, so the query plants it
+# deterministically (doc_id % 7 selects which kind gets appended, the
+# id itself parameterizes the value) IDENTICALLY in both engines, then
+# runs the operator / the equivalent RE2 chain.  The patterns live in
+# the Java∩RE2 regex subset (operators/text.py:PII_PATTERNS) precisely
+# so this cross-engine oracle is exact — counts on the original text,
+# redaction applied in the fixed email→ssn→ipv4→phone order.
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text || CASE doc_id % 7
+           WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com today'
+           WHEN 1 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' on file'
+           WHEN 2 THEN ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 port 80'
+           WHEN 3 THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+           ELSE ''
+         END AS text
+  FROM documents
+"""
+
+
+@q(
+    "text_pii_scrub",
+    rf"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\+\d{{7,15}}\b')) AS BIGINT) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+        '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g'),
+      '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+    '\+\d{{7,15}}\b', '<PHONE>', 'g') AS redacted
+FROM aug
+""",
+)
+def text_pii_scrub(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sel = F.col("doc_id") % 7
+    did = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(sel == 0, F.concat(F.lit(" reach user"), did, F.lit("@example.com today")))
+            .when(
+                sel == 1,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" on file"),
+                ),
+            )
+            .when(
+                sel == 2,
+                F.concat(
+                    F.lit(" from host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".17 port 80"),
+                ),
+            )
+            .when(
+                sel == 3,
+                F.concat(
+                    F.lit(" call +1415555"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" now"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.pii_scrub(aug)

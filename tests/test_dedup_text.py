@@ -742,6 +742,33 @@ def test_decontaminate_bloom_identical_to_exact_even_undersized(spark):
     assert exact == bloom and len(exact) > 0
 
 
+def test_pii_scrub_hand_cases(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "mail me at a.b+c@foo.co.uk or x@y.io thanks"),
+                (1, "ssn 123-45-6789 ip 192.168.0.1 call +123456789"),
+                (2, "clean text no pii at all"),
+                (3, "overlap test: 1.2.3.4.5"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = text.pii_scrub(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_email"] == 2
+    assert out.loc[0, "redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert (
+        out.loc[1, ["n_ssn", "n_ipv4", "n_phone"]].tolist() == [1, 1, 1]
+        and out.loc[1, "n_email"] == 0
+    )
+    assert out.loc[1, "redacted"] == "ssn <SSN> ip <IP> call <PHONE>"
+    assert out.loc[2].tolist() == [0, 0, 0, 0, "clean text no pii at all"]
+    # leftmost ipv4 match takes 1.2.3.4 and leaves the trailing .5 —
+    # pinned because the DuckDB oracle (RE2) must agree exactly
+    assert out.loc[3, "n_ipv4"] == 1
+    assert out.loc[3, "redacted"] == "overlap test: <IP>.5"
+
+
 def test_repetition_stats_hand_computed(spark):
     df = spark.createDataFrame(
         pd.DataFrame(

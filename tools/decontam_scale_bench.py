@@ -126,6 +126,60 @@ def main():
         "gram_hits": agg["total_gram_hits"],
         "exact_planted_recovery": bool(ok),
     }
+
+    # ---- Bloom-prefiltered variant (huge-eval regime), same ground
+    # truth.  Sized at ~16 bits/eval-gram (k=5 -> fp ~0.1%): the
+    # interesting measured number is the survivor count -- how many of
+    # the train_grams reach the exact verify join (true hits + fp)
+    # instead of all of them reaching a sort-merge join in the
+    # no-broadcast-possible regime this variant exists for.
+    if os.environ.get("SPARK_GRAFT_DECON_BLOOM", "1") == "1":
+        from gtfs_to_geojson_spark.operators.dedup import (
+            bloom_build,
+            bloom_probe,
+            word_ngrams,
+        )
+
+        eval_grams = 13 * n_eval  # 15 words -> 13 word-3-grams per eval doc
+        n_bits = 1 << max(10, (16 * eval_grams - 1).bit_length())
+        bdf = dedup.decontaminate_bloom(train, ev, n=3, n_bits=n_bits, n_hashes=5)
+        bplan = bdf._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in bplan, "bloom probe must fuse into BNLJ"
+        t0 = time.time()
+        bagg = bdf.agg(
+            F.count(F.lit(1)).alias("n_contaminated_docs"),
+            F.sum("n_contaminated").alias("total_gram_hits"),
+            F.min("n_contaminated").alias("min_hits"),
+            F.max("n_contaminated").alias("max_hits"),
+        ).collect()[0]
+        bdt = time.time() - t0
+        bok = (
+            bagg["n_contaminated_docs"] == expect_docs
+            and bagg["min_hits"] == 3
+            and bagg["max_hits"] == 3
+            and bagg["total_gram_hits"] == 3 * expect_docs
+        )
+        # separate pass: survivors of the prefilter alone (what the
+        # verify join actually has to consume)
+        eg = word_ngrams(ev, n=3).select("gram").distinct()
+        bloom = bloom_build(eg, "gram", n_bits=n_bits, n_hashes=5)
+        tg = word_ngrams(train, n=3)
+        t0 = time.time()
+        n_surv = bloom_probe(tg, "gram", bloom, n_bits=n_bits, n_hashes=5).count()
+        sdt = time.time() - t0
+        out.update(
+            {
+                "bloom_n_bits": n_bits,
+                "bloom_mib": round(n_bits / 8 / 1048576, 2),
+                "bloom_decontam_sec": round(bdt, 1),
+                "bloom_exact_planted_recovery": bool(bok),
+                "bloom_survivor_grams": n_surv,
+                "bloom_survivor_frac": round(n_surv / ((n_words - 2) * n_docs), 8),
+                "bloom_probe_only_sec": round(sdt, 1),
+            }
+        )
+        ok = ok and bok
+
     print(json.dumps(out))
     if not ok:
         raise SystemExit(f"planted ground truth NOT recovered: {out}")
