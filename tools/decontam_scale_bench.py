@@ -144,7 +144,11 @@ def main():
         n_bits = 1 << max(10, (16 * eval_grams - 1).bit_length())
         bdf = dedup.decontaminate_bloom(train, ev, n=3, n_bits=n_bits, n_hashes=5)
         bplan = bdf._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoopJoin" in bplan, "bloom probe must fuse into BNLJ"
+        # the probe must be a plain codegen filter — the ONLY join in
+        # the plan is the survivor verify equi-join (a BNLJ attach ran
+        # interpreted, 10x slower)
+        assert "BroadcastNestedLoopJoin" not in bplan, "probe regressed to BNLJ attach"
+        assert "BatchEvalPython" not in bplan and "ArrowEval" not in bplan
         t0 = time.time()
         bagg = bdf.agg(
             F.count(F.lit(1)).alias("n_contaminated_docs"),
