@@ -53,14 +53,17 @@ def main():
     # .drop("n_words"): quality_score and repetition_stats both emit it
     # (same formula) — the append-collision guard would fire; the drop
     # is a projection inside the same map stage
-    feats = text.repetition_stats(
-        text.fingerprint(
-            text.token_count(
-                text.quality_score(text.lang_id(docs, append=True), append=True),
+    feats = text.pii_scrub(
+        text.repetition_stats(
+            text.fingerprint(
+                text.token_count(
+                    text.quality_score(text.lang_id(docs, append=True), append=True),
+                    append=True,
+                ),
                 append=True,
-            ),
+            ).drop("n_words"),
             append=True,
-        ).drop("n_words"),
+        ),
         append=True,
     )
     # aggregate instead of count(): count() would let Catalyst prune
@@ -75,6 +78,10 @@ def main():
         F.count_distinct("pred_lang").alias("langs"),
         F.sum("dup_word_frac").alias("dw"),
         F.sum("top_bigram_frac").alias("tb"),
+        # pii columns summed (and redacted length) so the scrub's
+        # regexes can't be pruned out of the measured pass
+        (F.sum("n_email") + F.sum("n_ssn") + F.sum("n_ipv4") + F.sum("n_phone")).alias("pii"),
+        F.sum(F.length("redacted")).alias("red_len"),
     ).collect()[0]
     dt = time.time() - t0
 
@@ -86,8 +93,11 @@ def main():
         "distinct_langs": row["langs"],
         "mean_dup_word_frac": round(row["dw"] / n_docs, 4),
         "mean_top_bigram_frac": round(row["tb"] / n_docs, 4),
+        "pii_hits": int(row["pii"]),
+        "redacted_chars": int(row["red_len"]),
     }
     assert row["n"] == n_docs
+    assert row["pii"] == 0  # md5-hex corpus: any hit is a regex bug
     print(json.dumps(out))
 
 
