@@ -318,3 +318,131 @@ def image_near_dup_pairs(
     return dedup.embedding_near_dup_pairs(
         emb, threshold=threshold, id_col="image_id", vec_col="embedding"
     )
+
+
+# SDXL-style resolution buckets: ~1 Mpx each, aspect from 1:4 to 4:1.
+# Any fixed list works; what matters is that batches are packed within
+# one bucket so every training batch is shape-homogeneous.
+DEFAULT_ASPECT_BUCKETS: list[tuple[int, int]] = [
+    (512, 2048), (512, 1856), (576, 1664), (640, 1536), (704, 1408),
+    (768, 1344), (832, 1216), (896, 1152), (960, 1088), (1024, 1024),
+    (1088, 960), (1152, 896), (1216, 832), (1344, 768), (1408, 704),
+    (1536, 640), (1664, 576), (1856, 512), (2048, 512),
+]
+
+_AR_SCALE = 1_000_000
+
+
+def aspect_bucket(
+    images: DataFrame,
+    buckets: list[tuple[int, int]] | None = None,
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Assign every image to the aspect-ratio bucket minimizing
+    |ar_q(w,h) − ar_q(bw,bh)|, where ar_q(w,h) = (w·10^6) div h — a
+    micro-quantized aspect ratio in PURE int64 arithmetic, so the
+    argmin is bit-identical in any engine (no float log/division whose
+    last-ulp could flip a tie at 10^12 rows). Ties break to the
+    earliest bucket in the list.
+
+    Appends ``bucket_id`` (index into ``buckets``), ``bucket_w``,
+    ``bucket_h``. Entirely JVM whole-stage-codegen: the per-bucket
+    distances form an array of (dist, idx, bw, bh) structs and
+    ``array_min``'s lexicographic struct ordering performs the
+    tie-broken argmin — no shuffle, no Python, a map-only stamp that
+    fuses with whatever scan feeds it (the 10^12-image regime: this
+    must cost one codegen expression per row, nothing more)."""
+    bks = DEFAULT_ASPECT_BUCKETS if buckets is None else buckets
+    if not bks:
+        raise ValueError("aspect_bucket: empty bucket list")
+    ar = F.expr(f"(cast({w_col} as bigint) * {_AR_SCALE}) div {h_col}")
+    candidates = F.array(*[
+        F.struct(
+            F.abs(ar - F.lit((bw * _AR_SCALE) // bh)).alias("d"),
+            F.lit(i).alias("bucket_id"),
+            F.lit(bw).alias("bucket_w"),
+            F.lit(bh).alias("bucket_h"),
+        )
+        for i, (bw, bh) in enumerate(bks)
+    ])
+    best = F.array_min(candidates)
+    return images.withColumns({
+        "bucket_id": best["bucket_id"],
+        "bucket_w": best["bucket_w"],
+        "bucket_h": best["bucket_h"],
+    })
+
+
+def bucketed_batches(
+    images: DataFrame,
+    batch_size: int,
+    buckets: list[tuple[int, int]] | None = None,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The full image-training batch layout: aspect-bucket every image,
+    then pack fixed-size shape-homogeneous batches within each bucket
+    (batch_id, pos_in_batch per row, deterministic in ``id_col``
+    order). Packing runs on the grouped distributed prefix scan
+    (operators/scan.py) because the bucket list is ~25 groups — the
+    low-cardinality regime where Spark's own partitioned window would
+    serialize each bucket through a single task."""
+    from . import scan
+
+    return scan.pack_batches(
+        aspect_bucket(images, buckets, w_col=w_col, h_col=h_col),
+        "bucket_id", id_col, batch_size, num_partitions=num_partitions,
+    )
+
+
+def crossmodal_canonical(
+    images: DataFrame,
+    max_hamming: int = 2,
+    combos: int = 2,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Cross-modal duplicate-cluster canonicalization: cluster images
+    whose perceptual hashes are within ``max_hamming`` bits (banded
+    phash candidate generation → distributed connected components),
+    then pick ONE canonical row per cluster by caption quality —
+    longest caption wins, ties to the smallest id. The curation move
+    this encodes: near-identical crawled images usually differ only in
+    caption quality, so the cluster keeps the best-captioned copy.
+
+    Returns (component, canonical_id, canonical_caption_len,
+    n_members): component = min image id in the cluster (singletons
+    are their own component). Scale shape: pair generation is the
+    banded LSH join (exact for max_hamming ≤ n_bands − combos),
+    components contract in O(log n) rounds, and the final argmax is
+    one aggregation — no all-pairs stage anywhere."""
+    from . import dedup
+    from .graph import connected_components
+
+    pairs = dedup.phash_near_pairs(
+        images, max_hamming=max_hamming, id_col=id_col, combos=combos
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=images.select(F.col(id_col).alias("node")),
+    )
+    members = images.select(
+        F.col(id_col).cast("long").alias("node"), F.col(caption_col).alias("_cap")
+    ).join(comp, "node")
+    best = F.max(
+        F.struct(
+            F.length("_cap").alias("len"),
+            (-F.col("node")).alias("neg_id"),
+        )
+    )
+    return (
+        members.groupBy("component")
+        .agg(
+            (-best["neg_id"]).alias("canonical_id"),
+            best["len"].alias("canonical_caption_len"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

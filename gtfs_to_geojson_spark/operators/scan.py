@@ -177,3 +177,165 @@ def pack_shards(
     else:
         shard = F.floor(start / F.lit(float(shard_size))).cast("long")
     return rt.withColumn(out_col, shard)
+
+
+def grouped_running_total(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Per-group inclusive running total of ``weight_col`` in
+    ``order_col`` order — the SQL ``SUM(w) OVER (PARTITION BY g ORDER
+    BY id ROWS UNBOUNDED PRECEDING)`` — computed WITHOUT putting any
+    group into a single task.
+
+    Why not Spark's own window: ``Window.partitionBy(g).orderBy(id)``
+    hashes each group into exactly ONE task. That is the right plan
+    for HIGH-cardinality groups (millions of small groups — use the
+    built-in window there), and exactly the wrong one for
+    LOW-cardinality groups: a 10^12-image table bucketed into ~25
+    aspect-ratio buckets would run 25 tasks no matter how many
+    executors exist, each sorting ~4·10^10 rows. This operator covers
+    that regime with the same two-phase scan as ``running_total``:
+
+    1. one range shuffle on ``(group, order)`` — each group occupies a
+       CONTIGUOUS run of partitions, split across as many tasks as its
+       size demands (the range partitioner samples the key density, so
+       a hot bucket gets proportionally many partitions);
+    2. per-(partition, group) weight sums — bounded by P + G rows
+       (each partition contributes its boundary groups plus wholly
+       contained ones; G = distinct groups, enforced ≤ ``max_groups``),
+       one driver collect;
+    3. broadcast exclusive per-(partition, group) offsets back, one
+       map-only Arrow cumsum pass that restarts the carry at every
+       group or partition boundary.
+
+    Exactness contract matches ``running_total``: ``order_col`` must
+    be unique within each group; integer weights reproduce a serial
+    fold bit-for-bit."""
+    wt = df.schema[weight_col].dataType
+    integral = _is_integral(wt)
+    if not integral and not isinstance(wt, (T.FloatType, T.DoubleType)):
+        raise TypeError(f"grouped_running_total: unsupported weight type {wt}")
+    out_type = T.LongType() if integral else T.DoubleType()
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    from pyspark.storagelevel import StorageLevel
+
+    d = (
+        df.repartitionByRange(n, F.col(group_col), F.col(order_col))
+        .sortWithinPartitions(group_col, order_col)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # phase 2: per-(pid, group) sums. Range partitioning keeps each
+    # group contiguous, so the result has ≤ P + G rows — the driver
+    # state is bounded by configuration (P) and the documented
+    # low-cardinality contract (G ≤ max_groups), never by row count.
+    rows = (
+        d.groupBy(_PID, group_col)
+        .agg(F.sum(F.coalesce(F.col(weight_col), F.lit(0))).alias("_s"))
+        .collect()
+    )
+    n_groups = len({r[group_col] for r in rows})
+    if n_groups > max_groups:
+        raise ValueError(
+            f"grouped_running_total: {n_groups} distinct groups exceeds "
+            f"max_groups={max_groups}; for high-cardinality groups use "
+            "Window.partitionBy — each group fits one task there"
+        )
+    zero = 0 if integral else 0.0
+    # exclusive offset of (pid, g) = sum of g's weight in earlier pids
+    acc: dict = {}
+    offsets: dict = {}
+    for r in sorted(rows, key=lambda r: r[_PID]):
+        key = (r[_PID], r[group_col])
+        offsets[key] = acc.get(r[group_col], zero)
+        acc[r[group_col]] = offsets[key] + (r["_s"] if r["_s"] is not None else zero)
+
+    names = [f.name for f in d.schema.fields]
+    if out_col in names:
+        raise ValueError(f"grouped_running_total: column {out_col!r} already exists")
+    wx = names.index(weight_col)
+    px = names.index(_PID)
+    gx = names.index(group_col)
+    out_schema = T.StructType(list(d.schema.fields) + [T.StructField(out_col, out_type)])
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        npt = np.int64 if integral else np.float64
+        cur_key, carry = None, npt(0)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            w = pc.fill_null(rb.column(wx), zero).to_numpy(zero_copy_only=False)
+            w = w.astype(npt, copy=False)
+            pid = rb.column(px).to_numpy(zero_copy_only=False)
+            grp = rb.column(gx).to_numpy(zero_copy_only=False)
+            run = np.cumsum(w)
+            # segment = maximal run of constant (pid, group); restart
+            # the carry from the broadcast offset at each new segment
+            brk = (pid[1:] != pid[:-1]) | (grp[1:] != grp[:-1])
+            starts = np.flatnonzero(np.r_[True, brk])
+            bounds = np.r_[starts, len(run)]
+            raw_prefix = [run[s - 1] if s else npt(0) for s in starts]
+            for idx, s in enumerate(starts):
+                key = (int(pid[s]), grp[s])
+                if key != cur_key:
+                    cur_key, carry = key, npt(offsets[key])
+                run[s : bounds[idx + 1]] += carry - raw_prefix[idx]
+                carry = run[bounds[idx + 1] - 1]
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [pa.array(run)], names=names + [out_col]
+            )
+
+    return d.mapInArrow(kernel, out_schema).drop(_PID)
+
+
+def pack_batches(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    batch_size: int,
+    out_col: str = "batch_id",
+    pos_col: str = "pos_in_batch",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row a per-group training-batch id and position:
+    batch_id = (rank_in_group − 1) div batch_size, pos_in_batch =
+    (rank_in_group − 1) mod batch_size, rank in ``order_col`` order.
+
+    The image-training consumer this exists for: after aspect-ratio
+    bucketing (``multimodal.aspect_bucket``), every batch fed to the
+    trainer must be shape-homogeneous, so batches are packed WITHIN a
+    bucket — ~25 huge groups at 10^12 images, exactly the
+    low-cardinality regime ``grouped_running_total`` is built for
+    (a plain partitioned window would collapse each bucket into one
+    task). The rank comes from the grouped scan with weight 1; the
+    batch id and position are JVM integer div/mod on the int64 rank."""
+    if batch_size <= 0:
+        raise ValueError("pack_batches: batch_size must be positive")
+    one = "_pack_one"
+    if one in df.columns:
+        raise ValueError(f"pack_batches: column {one!r} already exists")
+    rank = "_pack_rank"
+    rt = grouped_running_total(
+        df.withColumn(one, F.lit(1).cast("int")),
+        group_col, order_col, one,
+        out_col=rank, num_partitions=num_partitions,
+    )
+    return (
+        rt.withColumn(out_col, F.expr(f"({rank} - 1) div {int(batch_size)}"))
+        .withColumn(pos_col, F.expr(f"({rank} - 1) % {int(batch_size)}").cast("int"))
+        .drop(one, rank)
+    )

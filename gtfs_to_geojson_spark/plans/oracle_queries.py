@@ -25,7 +25,7 @@ from pyspark.sql.functions import broadcast
 
 from .. import cells
 from ..functions.geo import haversine_m, sanitize_filename, yyyymmdd
-from ..operators import dedup, relational, scan, similarity, spatial, text
+from ..operators import dedup, multimodal, relational, scan, similarity, spatial, text
 
 # ---------------------------------------------------------------------------
 # deterministic key → coordinate derivation (identical in SQL)
@@ -1481,6 +1481,190 @@ def g5c_clip_conservation(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# image-training batch layout (r4 session 5): aspect bucketing, grouped
+# prefix-scan batch packing, cross-modal canonicalization
+# ---------------------------------------------------------------------------
+
+# deterministic (w, h) per image, derived from doc_id with the same
+# integer-only convention as the geo coordinates: 64·(1 + k·M % 30)
+# spans 64..1920 px in both engines bit-identically.
+def _img_w_col(key):
+    return (F.lit(64) * (F.lit(1) + (key * F.lit(M1)) % F.lit(30))).cast("int")
+
+
+def _img_h_col(key):
+    return (F.lit(64) * (F.lit(1) + (key * F.lit(M2)) % F.lit(30))).cast("int")
+
+
+def _img_w_sql(key: str) -> str:
+    return f"CAST(64 * (1 + ({key} * {M1}) % 30) AS INT)"
+
+
+def _img_h_sql(key: str) -> str:
+    return f"CAST(64 * (1 + ({key} * {M2}) % 30) AS INT)"
+
+
+def _synth_images(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    return docs.select(
+        F.col("doc_id").alias("image_id"),
+        _img_w_col(k).alias("w"),
+        _img_h_col(k).alias("h"),
+    )
+
+
+_BUCKET_VALUES_SQL = ", ".join(
+    f"({i}, {bw}, {bh}, {(bw * 1_000_000) // bh})"
+    for i, (bw, bh) in enumerate(multimodal.DEFAULT_ASPECT_BUCKETS)
+)
+
+_IMG_SYNTH_SQL = f"""
+  SELECT doc_id AS image_id,
+         {_img_w_sql('doc_id')} AS w,
+         {_img_h_sql('doc_id')} AS h
+  FROM documents
+"""
+
+# The oracle reformulates the argmin independently: cross join against
+# the bucket VALUES list, rank by (|ar_q − bar_q|, idx) — pure int64
+# arithmetic on both sides, so ties and boundaries cannot flip.
+_ASPECT_BUCKET_SQL = f"""
+WITH imgs AS ({_IMG_SYNTH_SQL}),
+b(idx, bw, bh, bar) AS (VALUES {_BUCKET_VALUES_SQL}),
+ranked AS (
+  SELECT image_id, w, h, idx, bw, bh,
+         row_number() OVER (
+           PARTITION BY image_id
+           ORDER BY abs((CAST(w AS BIGINT) * 1000000) // h - bar), idx
+         ) AS rn
+  FROM imgs CROSS JOIN b
+)
+SELECT image_id, w, h,
+       CAST(idx AS INT) AS bucket_id,
+       CAST(bw AS INT) AS bucket_w,
+       CAST(bh AS INT) AS bucket_h
+FROM ranked WHERE rn = 1
+"""
+
+
+@q("image_aspect_bucket", _ASPECT_BUCKET_SQL)
+def image_aspect_bucket(spark, sf_dir):
+    """Aspect-ratio bucketing of the (input-hint-shaped) image table —
+    the batch-shape-homogeneity prerequisite for image training. The
+    Spark side is multimodal.aspect_bucket's codegen array_min argmin;
+    the oracle is an independent cross-join + window reformulation."""
+    return multimodal.aspect_bucket(_synth_images(spark, sf_dir))
+
+
+_PACK_BATCHES_SQL = f"""
+WITH imgs AS ({_IMG_SYNTH_SQL}),
+b(idx, bw, bh, bar) AS (VALUES {_BUCKET_VALUES_SQL}),
+ranked AS (
+  SELECT image_id, idx,
+         row_number() OVER (
+           PARTITION BY image_id
+           ORDER BY abs((CAST(w AS BIGINT) * 1000000) // h - bar), idx
+         ) AS rn
+  FROM imgs CROSS JOIN b
+), assigned AS (
+  SELECT image_id, CAST(idx AS INT) AS bucket_id FROM ranked WHERE rn = 1
+), pos AS (
+  SELECT image_id, bucket_id,
+         row_number() OVER (PARTITION BY bucket_id ORDER BY image_id) - 1 AS rk
+  FROM assigned
+)
+SELECT image_id, bucket_id,
+       CAST(rk // 8 AS BIGINT) AS batch_id,
+       CAST(rk % 8 AS INT) AS pos_in_batch
+FROM pos
+"""
+
+
+@q("image_pack_batches", _PACK_BATCHES_SQL)
+def image_pack_batches(spark, sf_dir):
+    """Per-bucket training-batch packing via the GROUPED distributed
+    prefix scan (scan.grouped_running_total → pack_batches): ~19 huge
+    buckets is the low-cardinality regime where Spark's own
+    partitioned window would serialize each bucket into one task, so
+    the scan's range-shuffle + bounded-collect + map-only-cumsum path
+    is the 10^12-image plan. Oracle: the equivalent serial window."""
+    out = multimodal.bucketed_batches(
+        _synth_images(spark, sf_dir), batch_size=8
+    )
+    return out.select("image_id", "bucket_id", "batch_id", "pos_in_batch")
+
+
+# phash synthesis shared in spirit with phash_near_dup (same planted
+# group structure: base 64-bit md5 hash of (doc_id % 120), one bit
+# flipped at (doc_id % 63) — within-group hamming ∈ {0, 2}); bounded
+# to doc_id < 600 so the oracle's brute-force all-pairs + recursive
+# closure stays cheap while every group has 5 members at sf ≥ 0.001.
+_CROSSMODAL_SQL = """
+WITH RECURSIVE ph AS (
+  SELECT doc_id AS image_id, text,
+         xor(
+           (('0x' || substr(md5((doc_id % 120)::VARCHAR), 1, 8))::BIGINT::HUGEINT
+              * 4294967296
+            + ('0x' || substr(md5((doc_id % 120)::VARCHAR), 9, 8))::BIGINT
+            - CASE WHEN ('0x' || substr(md5((doc_id % 120)::VARCHAR), 1, 8))::BIGINT
+                        >= 2147483648
+                   THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT,
+           (1::BIGINT << (doc_id % 63))
+         ) AS phash
+  FROM documents WHERE doc_id < 600
+), sym AS (
+  SELECT a.image_id AS u, b.image_id AS v
+  FROM ph a JOIN ph b ON a.image_id <> b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2
+), reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+), comp AS (
+  SELECT a AS image_id, least(a, min(b)) AS component FROM reach GROUP BY a
+), assigned AS (
+  SELECT p.image_id, p.text,
+         CAST(coalesce(c.component, p.image_id) AS BIGINT) AS component
+  FROM ph p LEFT JOIN comp c USING (image_id)
+), ranked AS (
+  SELECT component, image_id, length(text) AS cl,
+         row_number() OVER (
+           PARTITION BY component ORDER BY length(text) DESC, image_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY component) AS nm
+  FROM assigned
+)
+SELECT component, image_id AS canonical_id,
+       CAST(cl AS INT) AS canonical_caption_len,
+       CAST(nm AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@q("crossmodal_canonical", _CROSSMODAL_SQL)
+def crossmodal_canonical(spark, sf_dir):
+    """Cross-modal duplicate-cluster canonicalization: banded phash
+    near-dup pairs → distributed connected components → best-captioned
+    member per cluster (multimodal.crossmodal_canonical). The oracle
+    recomputes components via brute-force pairs + recursive-CTE
+    closure (the a3b pattern) and the canonical pick via a window —
+    fully independent of the banded/star-contraction machinery."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    g = (F.col("doc_id") % 120).cast("string")
+    hi = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(g), 9, 8), 16, 10).cast("long")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.shiftleft(hi, 32) + lo).bitwiseXOR(
+            F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 63 as int))")
+        ).alias("phash"),
+        F.col("text").alias("caption"),
+    )
+    return multimodal.crossmodal_canonical(imgs, max_hamming=2, combos=2)
+
+
 # Driver-window rotation: the driver records at most 50 of the 60
 # registered queries, in dict order, so ten queries per round rest on
 # selfcheck + history instead of a fresh driver row.  Round 3 rotated
@@ -1541,6 +1725,15 @@ _DRIVER_TAIL = [
     # session family keeps s11_session_window in-window) so the new
     # text_pii_scrub (PII detection + redaction) gets its driver row
     "w2_sessionize",
+    # r4 tenth addition: rest three thrice-green veterans, each with a
+    # same-family query still in-window (f1_date_window <- f2_semi_join;
+    # j8b_knn3 <- j8_knn; j6b_radius_join <- j6_point_in_envelope), so
+    # the new image-training batch-layout queries (image_aspect_bucket,
+    # image_pack_batches via the grouped prefix scan, and
+    # crossmodal_canonical) get driver rows in CORRECTNESS_r04
+    "f1_date_window",
+    "j8b_knn3",
+    "j6b_radius_join",
 ]
 
 
