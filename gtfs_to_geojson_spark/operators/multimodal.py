@@ -338,6 +338,7 @@ def aspect_bucket(
     buckets: list[tuple[int, int]] | None = None,
     w_col: str = "w",
     h_col: str = "h",
+    emit_dims: bool = True,
 ) -> DataFrame:
     """Assign every image to the aspect-ratio bucket minimizing
     |ar_q(w,h) − ar_q(bw,bh)|, where ar_q(w,h) = (w·10^6) div h — a
@@ -352,25 +353,56 @@ def aspect_bucket(
     ``array_min``'s lexicographic struct ordering performs the
     tie-broken argmin — no shuffle, no Python, a map-only stamp that
     fuses with whatever scan feeds it (the 10^12-image regime: this
-    must cost one codegen expression per row, nothing more)."""
+    must cost one codegen expression per row, nothing more).
+
+    ``emit_dims=False`` appends only ``bucket_id`` — for pipelines
+    that ship rows through a byte-counted boundary (the grouped-scan
+    batch packer) and re-stamp the dims afterwards with
+    ``stamp_bucket_dims``."""
     bks = DEFAULT_ASPECT_BUCKETS if buckets is None else buckets
     if not bks:
         raise ValueError("aspect_bucket: empty bucket list")
     ar = F.expr(f"(cast({w_col} as bigint) * {_AR_SCALE}) div {h_col}")
+    if emit_dims:
+        candidates = F.array(*[
+            F.struct(
+                F.abs(ar - F.lit((bw * _AR_SCALE) // bh)).alias("d"),
+                F.lit(i).alias("bucket_id"),
+                F.lit(bw).alias("bucket_w"),
+                F.lit(bh).alias("bucket_h"),
+            )
+            for i, (bw, bh) in enumerate(bks)
+        ])
+        best = F.array_min(candidates)
+        return images.withColumns({
+            "bucket_id": best["bucket_id"],
+            "bucket_w": best["bucket_w"],
+            "bucket_h": best["bucket_h"],
+        })
     candidates = F.array(*[
         F.struct(
             F.abs(ar - F.lit((bw * _AR_SCALE) // bh)).alias("d"),
             F.lit(i).alias("bucket_id"),
-            F.lit(bw).alias("bucket_w"),
-            F.lit(bh).alias("bucket_h"),
         )
         for i, (bw, bh) in enumerate(bks)
     ])
-    best = F.array_min(candidates)
-    return images.withColumns({
-        "bucket_id": best["bucket_id"],
-        "bucket_w": best["bucket_w"],
-        "bucket_h": best["bucket_h"],
+    return images.withColumn("bucket_id", F.array_min(candidates)["bucket_id"])
+
+
+def stamp_bucket_dims(
+    df: DataFrame,
+    buckets: list[tuple[int, int]] | None = None,
+    bucket_col: str = "bucket_id",
+) -> DataFrame:
+    """Re-attach (bucket_w, bucket_h) from a ``bucket_id`` column via
+    element_at over the literal bucket arrays — a codegen lookup, no
+    join, no extra bytes carried through upstream stages."""
+    bks = DEFAULT_ASPECT_BUCKETS if buckets is None else buckets
+    ws = F.array(*[F.lit(bw) for bw, _ in bks])
+    hs = F.array(*[F.lit(bh) for _, bh in bks])
+    return df.withColumns({
+        "bucket_w": F.element_at(ws, F.col(bucket_col) + 1),
+        "bucket_h": F.element_at(hs, F.col(bucket_col) + 1),
     })
 
 
@@ -382,6 +414,7 @@ def bucketed_batches(
     w_col: str = "w",
     h_col: str = "h",
     num_partitions: int | None = None,
+    assume_sorted: bool = False,
 ) -> DataFrame:
     """The full image-training batch layout: aspect-bucket every image,
     then pack fixed-size shape-homogeneous batches within each bucket
@@ -389,13 +422,27 @@ def bucketed_batches(
     order). Packing runs on the grouped distributed prefix scan
     (operators/scan.py) because the bucket list is ~25 groups — the
     low-cardinality regime where Spark's own partitioned window would
-    serialize each bucket through a single task."""
+    serialize each bucket through a single task.
+
+    ``assume_sorted=True`` (verified, raises on a false claim): the
+    image table is already ``id_col``-clustered — the usual layout of
+    a range-written 10^12-row table — so the whole job is shuffle-free:
+    the bucket stamp is a codegen map expression and the packing is
+    one stats aggregate + one map-only Arrow pass over the raw scan.
+
+    Byte discipline through the Arrow boundary (measured: the packing
+    pass is IPC-byte-bound, not compute-bound): only ``bucket_id``
+    rides through the scan (no weight column — count mode; no bucket
+    dims), and (bucket_w, bucket_h) are re-stamped afterwards as a
+    codegen element_at lookup."""
     from . import scan
 
-    return scan.pack_batches(
-        aspect_bucket(images, buckets, w_col=w_col, h_col=h_col),
+    packed = scan.pack_batches(
+        aspect_bucket(images, buckets, w_col=w_col, h_col=h_col, emit_dims=False),
         "bucket_id", id_col, batch_size, num_partitions=num_partitions,
+        assume_sorted=assume_sorted,
     )
+    return stamp_bucket_dims(packed, buckets)
 
 
 def crossmodal_canonical(

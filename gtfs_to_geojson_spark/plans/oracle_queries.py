@@ -1643,6 +1643,106 @@ FROM ranked WHERE rn = 1
 """
 
 
+# image-curation composition: the full jobs/curate_images_job.py chain
+# re-derived independently — components (recursive CTE), best-caption
+# canonical pick, metadata quality filter, aspect bucket, batch pack.
+# A hash match pins every drop/keep decision AND the final batch
+# layout in one driver row. (Same synthesis as crossmodal_canonical;
+# w/h from the _img_*_sql derivation, min-side 128 drops the 64-px
+# rows deterministically.)
+_CURATE_IMAGES_SQL = f"""
+WITH RECURSIVE ph AS (
+  SELECT doc_id AS image_id, text,
+         {_img_w_sql('doc_id')} AS w,
+         {_img_h_sql('doc_id')} AS h,
+         xor(
+           (('0x' || substr(md5((doc_id % 120)::VARCHAR), 1, 8))::BIGINT::HUGEINT
+              * 4294967296
+            + ('0x' || substr(md5((doc_id % 120)::VARCHAR), 9, 8))::BIGINT
+            - CASE WHEN ('0x' || substr(md5((doc_id % 120)::VARCHAR), 1, 8))::BIGINT
+                        >= 2147483648
+                   THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT,
+           (1::BIGINT << (doc_id % 63))
+         ) AS phash
+  FROM documents WHERE doc_id < 600
+), sym AS (
+  SELECT a.image_id AS u, b.image_id AS v
+  FROM ph a JOIN ph b ON a.image_id <> b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2
+), reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+), assigned AS (
+  SELECT p.image_id, p.text, p.w, p.h,
+         CAST(coalesce(c.component, p.image_id) AS BIGINT) AS component
+  FROM ph p LEFT JOIN (
+    SELECT a AS image_id, least(a, min(b)) AS component FROM reach GROUP BY a
+  ) c USING (image_id)
+), canon AS (
+  SELECT image_id, w, h FROM (
+    SELECT image_id, w, h,
+           row_number() OVER (
+             PARTITION BY component ORDER BY length(text) DESC, image_id
+           ) AS rn
+    FROM assigned
+  ) WHERE rn = 1
+), clean AS (
+  SELECT image_id, w, h FROM canon
+  WHERE w >= 128 AND h >= 128
+), b(idx, bw, bh, bar) AS (VALUES {_BUCKET_VALUES_SQL}),
+bucketed AS (
+  SELECT image_id, CAST(idx AS INT) AS bucket_id FROM (
+    SELECT image_id, idx,
+           row_number() OVER (
+             PARTITION BY image_id
+             ORDER BY abs((CAST(w AS BIGINT) * 1000000) // h - bar), idx
+           ) AS rn
+    FROM clean CROSS JOIN b
+  ) WHERE rn = 1
+), pos AS (
+  SELECT image_id, bucket_id,
+         row_number() OVER (PARTITION BY bucket_id ORDER BY image_id) - 1 AS rk
+  FROM bucketed
+)
+SELECT image_id, bucket_id,
+       CAST(rk // 8 AS BIGINT) AS batch_id,
+       CAST(rk % 8 AS INT) AS pos_in_batch
+FROM pos
+"""
+
+
+@q("curate_images_pipeline", _CURATE_IMAGES_SQL)
+def curate_images_pipeline(spark, sf_dir):
+    """END-TO-END image curation composition (the
+    jobs/curate_images_job.py chain minus the byte-digest stage, which
+    needs real bytes): phash near-dup clustering → best-caption
+    canonical survivors → metadata quality filter → aspect bucketing →
+    shape-homogeneous batch packing. Every stage runs the real engine
+    operator; the oracle re-derives all of it independently in SQL."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    g = (F.col("doc_id") % 120).cast("string")
+    hi = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(g), 9, 8), 16, 10).cast("long")
+    k = F.col("doc_id")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.shiftleft(hi, 32) + lo).bitwiseXOR(
+            F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 63 as int))")
+        ).alias("phash"),
+        F.col("text").alias("caption"),
+        _img_w_col(k).alias("w"),
+        _img_h_col(k).alias("h"),
+    )
+    canon = multimodal.crossmodal_canonical(
+        imgs, max_hamming=2, combos=2
+    ).select(F.col("canonical_id").alias("image_id"))
+    surv = imgs.join(canon, "image_id", "left_semi")
+    clean = surv.filter((F.col("w") >= 128) & (F.col("h") >= 128))
+    out = multimodal.bucketed_batches(clean, batch_size=8)
+    return out.select("image_id", "bucket_id", "batch_id", "pos_in_batch")
+
+
 @q("crossmodal_canonical", _CROSSMODAL_SQL)
 def crossmodal_canonical(spark, sf_dir):
     """Cross-modal duplicate-cluster canonicalization: banded phash
@@ -1734,6 +1834,10 @@ _DRIVER_TAIL = [
     "f1_date_window",
     "j8b_knn3",
     "j6b_radius_join",
+    # r4 eleventh addition: rest j1_multiway_join (thrice-green; the
+    # join family keeps j3/j6/j7/j8/j9 in-window) so the composed
+    # curate_images_pipeline gets its driver row in CORRECTNESS_r04
+    "j1_multiway_join",
 ]
 
 

@@ -206,3 +206,75 @@ def test_crossmodal_canonical_matches_brute_closure(spark):
         assert row["canonical_id"] == cid
         assert row["canonical_caption_len"] == clen
         assert row["n_members"] == nm
+
+
+# ---- sorted fast path (assume_sorted=True: zero-shuffle plan) ----
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_grouped_running_total_sorted_path_matches_serial(spark, n_parts):
+    n = 600
+    ids = np.arange(n)
+    pdf = pd.DataFrame(
+        {
+            "id": ids,
+            "g": (ids * 7) % 5,          # groups interleave in natural order
+            "w": (ids * 13) % 40 + 1,
+        }
+    )
+    # spark.range is order-clustered by construction
+    df = (
+        spark.range(0, n, 1, n_parts)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 7) % 5).alias("g"),
+            ((F.col("id") * 13) % 40 + 1).alias("w"),
+        )
+    )
+    out = scan.grouped_running_total(
+        df, "g", "id", "w", out_col="rt", assume_sorted=True
+    ).toPandas()
+    expected = _serial_grouped_cumsum(pdf)
+    got = out.set_index("id")["rt"]
+    pd.testing.assert_series_equal(got.sort_index(), expected.sort_index(), check_names=False)
+
+
+def test_grouped_running_total_sorted_equals_shuffle_path(spark):
+    n = 500
+    df = (
+        spark.range(0, n, 1, 6)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 11) % 7).alias("g"),
+            ((F.col("id") * 3) % 20 + 1).alias("w"),
+        )
+    )
+    fast = scan.grouped_running_total(df, "g", "id", "w", out_col="rt", assume_sorted=True).toPandas()
+    slow = scan.grouped_running_total(df, "g", "id", "w", out_col="rt", num_partitions=5).toPandas()
+    f = fast.sort_values("id").reset_index(drop=True)
+    s = slow.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f[["id", "g", "rt"]], s[["id", "g", "rt"]])
+
+
+def test_grouped_running_total_sorted_rejects_unclustered_input(spark):
+    # a round-robin repartition destroys order-clustering; the
+    # per-partition range check must refuse, not silently miscount
+    df = (
+        spark.range(0, 400, 1, 4)
+        .repartition(4)
+        .select(F.col("id"), (F.col("id") % 3).alias("g"), F.lit(1).alias("w"))
+    )
+    with pytest.raises(Exception, match="overlapping|not ascending"):
+        scan.grouped_running_total(df, "g", "id", "w", assume_sorted=True).collect()
+
+
+def test_pack_batches_sorted_path(spark):
+    df = (
+        spark.range(0, 500, 1, 5)
+        .select(F.col("id"), ((F.col("id") * 7) % 4).alias("g"))
+    )
+    out = scan.pack_batches(df, "g", "id", 8, assume_sorted=True).toPandas()
+    s = out.sort_values(["g", "id"]).copy()
+    s["rk"] = s.groupby("g").cumcount()
+    assert (s["batch_id"] == s["rk"] // 8).all()
+    assert (s["pos_in_batch"] == s["rk"] % 8).all()
