@@ -254,6 +254,64 @@ def points_in_multipolygon(px, py, polygons: list[list[np.ndarray]]) -> np.ndarr
 
 
 # ---------------------------------------------------------------------------
+# Polygon ↔ polygon intersects predicate (overlay join residual, J10/J11)
+# ---------------------------------------------------------------------------
+
+
+def _ring_edges(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    r = close_ring(np.asarray(ring, dtype=np.float64))
+    return r[:-1], r[1:]
+
+
+def edges_properly_cross(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
+) -> bool:
+    """True if any segment of (a0→a1) properly crosses any of (b0→b1)
+    — strict orientation sign flips on both segments, all (na × nb)
+    pairs at once. Collinear/touching contacts are NOT proper crossings;
+    :func:`polygons_intersect` catches those through its closed
+    (boundary-inclusive) vertex-containment tests instead."""
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    ax0, ay0 = a0[:, 0][:, None], a0[:, 1][:, None]
+    ax1, ay1 = a1[:, 0][:, None], a1[:, 1][:, None]
+    bx0, by0 = b0[:, 0][None, :], b0[:, 1][None, :]
+    bx1, by1 = b1[:, 0][None, :], b1[:, 1][None, :]
+    d1 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d2 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    d3 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d4 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
+
+
+def polygons_intersect(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> bool:
+    """Exact closed-semantics intersects test for two simple polygons
+    (outer ring + optional even-odd holes). Complete characterization:
+    the regions meet iff (a) some vertex of A is in B, or (b) some
+    vertex of B is in A, or (c) some edge pair properly crosses.
+    Boundary contact counts as intersecting (same closed semantics as
+    :func:`points_in_ring`, FIXTURES.md §4). Used as the exact residual
+    of the distributed polygon⋈polygon join (operators/overlap.py);
+    candidates arrive pre-filtered by bbox-cell overlap, so this only
+    ever sees bbox-overlapping pairs."""
+    ra = [np.asarray(r, dtype=np.float64) for r in rings_a]
+    rb = [np.asarray(r, dtype=np.float64) for r in rings_b]
+    if np.any(points_in_polygon(ra[0][:, 0], ra[0][:, 1], rb)):
+        return True
+    if np.any(points_in_polygon(rb[0][:, 0], rb[0][:, 1], ra)):
+        return True
+    for ring_a in ra:
+        a0, a1 = _ring_edges(ring_a)
+        for ring_b in rb:
+            b0, b1 = _ring_edges(ring_b)
+            if edges_properly_cross(a0, a1, b0, b1):
+                return True
+    return False
+
+
+# ---------------------------------------------------------------------------
 # Point ↔ segment distance (kNN snapping, J8)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,211 @@
+"""J10/J11 — distributed spatial *overlay* joins where BOTH sides are
+extended objects (envelope⋈envelope, polygon⋈polygon intersects).
+
+Engine-new: the reference's only spatial outputs are per-feed envelope
+/ convex / buffer FeatureCollections (formats/envelope.ts,
+formats/convex.ts); it never joins two geometry sets. This module
+completes the engine's join matrix — J6/J7 join points against
+extended objects, J8 is point↔point kNN, J10/J11 join extended objects
+against extended objects (the "which image tiles overlap which route
+corridors" shape at 10^12-row scale).
+
+Scale design — PBSM (Partition-Based Spatial Merge, Patel & DeWitt
+SIGMOD'96) re-expressed as one Spark equi-join:
+
+* each geometry explodes to the grid cells its bbox covers
+  (``cover_bbox_cells_col`` — pure Column expression, codegen);
+* candidates come from ONE hash equi-join on the cell id;
+* a pair whose bboxes overlap shares every cell containing the
+  intersection box, so naive cell joins emit duplicates. Instead of a
+  ``distinct()`` (a second full shuffle of the pair set), each pair is
+  reported only by its **canonical cell** — the cell containing the
+  intersection box's lower-left corner ``(max(min_lon), max(min_lat))``.
+  That corner lies inside both bboxes, hence inside both covers, so
+  exactly one joined row per overlapping pair survives — dedup becomes
+  a codegen filter, zero extra shuffle.
+* the bbox-overlap predicate itself is evaluated JVM-side; for
+  polygons the exact intersects residual (geometry.polygons_intersect)
+  runs as an Arrow-batched pandas UDF over the (already
+  bbox-overlap-filtered) candidates only.
+
+Clamping note: ``xy_col`` clamps cell indices to the grid, and the
+canonical corner is clamped by the same monotone function, so
+``clamp(x_min) ≤ clamp(x_canon) ≤ clamp(x_max)`` — the canonical cell
+stays inside both covers even for boxes straddling the grid edge.
+
+Skew: a dense cell with n_a × n_b resident boxes does inherent
+candidate work. ``salt_factor`` splits the left side of every cell
+into deterministic salt lanes (xxhash64 of the left id) and replicates
+the right side across lanes — same pair set (each pair meets in
+exactly one (cell, salt) bucket), bounded per-task fan-in. AQE's
+skew-join split handles residual row-size imbalance at runtime.
+
+Resolution choice: pick ``res`` so a typical box covers O(1–10) cells
+(``cells.cover_res_for_bbox``). Too coarse → giant per-cell crosses;
+too fine → cover explosion on large boxes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import cells
+from .. import geometry as geom
+from .spatial import cover_bbox_cells_col
+
+BOX_COLS = ("min_lon", "min_lat", "max_lon", "max_lat")
+
+
+def _suffixed(df: DataFrame, suffix: str) -> DataFrame:
+    return df.select([F.col(c).alias(c + suffix) for c in df.columns])
+
+
+def envelope_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int,
+    salt_target_rows: int | None = None,
+    left_id: str | None = None,
+) -> DataFrame:
+    """Box⋈box intersects join (inclusive edges). Both inputs carry
+    ``min_lon/min_lat/max_lon/max_lat`` plus any payload columns;
+    output columns are the left's suffixed ``_a`` and the right's
+    ``_b``. One shuffle (the cell equi-join), no distinct: the
+    canonical-cell filter emits each overlapping pair exactly once.
+
+    ``salt_target_rows`` enables histogram-driven hot-cell salting
+    (requires ``left_id``): one cheap pre-count over the exploded left
+    cover sets each cell's lane count to ceil(n_left/target); left rows
+    take a deterministic lane from xxhash64(left_id), right rows
+    replicate across that cell's lanes ONLY. Cold cells keep factor 1 —
+    no replication, no extra rows — so the right side is never globally
+    duplicated (the factor table is tiny: hot cells only, broadcast).
+    The pair set is identical (each pair meets in exactly one
+    (cell, lane) bucket; the canonical-cell filter is lane-oblivious).
+    The pre-count re-executes the left plan once (map + partial agg
+    only) — feed a materialized/cached frame when the left side is an
+    expensive derived plan (same guidance as knn_join's auto probe).
+    """
+    la = _suffixed(left, "_a")
+    rb = _suffixed(right, "_b")
+    la = la.withColumn(
+        "_cell",
+        F.explode(
+            cover_bbox_cells_col(
+                F.col("min_lon_a"), F.col("min_lat_a"), F.col("max_lon_a"), F.col("max_lat_a"), res
+            )
+        ),
+    )
+    rb = rb.withColumn(
+        "_cell",
+        F.explode(
+            cover_bbox_cells_col(
+                F.col("min_lon_b"), F.col("min_lat_b"), F.col("max_lon_b"), F.col("max_lat_b"), res
+            )
+        ),
+    )
+    keys = ["_cell"]
+    if salt_target_rows:
+        if left_id is None:
+            raise ValueError("salt_target_rows requires left_id")
+        factors = (
+            la.groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > salt_target_rows)
+            .select(
+                "_cell",
+                F.ceil(F.col("_n") / F.lit(salt_target_rows)).cast("long").alias("_f"),
+            )
+        )
+        la = (
+            la.join(F.broadcast(factors), "_cell", "left")
+            .withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col(left_id + "_a")), F.coalesce(F.col("_f"), F.lit(1))),
+            )
+            .drop("_f")
+        )
+        rb = (
+            rb.join(F.broadcast(factors), "_cell", "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), F.coalesce(F.col("_f"), F.lit(1)) - 1)
+                ),
+            )
+            .drop("_f")
+        )
+        keys = ["_cell", "_salt"]
+    joined = la.join(rb, keys)
+    overlap = (
+        (F.col("min_lon_a") <= F.col("max_lon_b"))
+        & (F.col("min_lon_b") <= F.col("max_lon_a"))
+        & (F.col("min_lat_a") <= F.col("max_lat_b"))
+        & (F.col("min_lat_b") <= F.col("max_lat_a"))
+    )
+    canonical = (
+        cells.cell_col(
+            F.greatest(F.col("min_lat_a"), F.col("min_lat_b")),
+            F.greatest(F.col("min_lon_a"), F.col("min_lon_b")),
+            res,
+        )
+        == F.col("_cell")
+    )
+    return joined.filter(overlap & canonical).drop(*keys)
+
+
+def polygon_bbox_cols(poly_col: Column) -> dict[str, Column]:
+    """bbox of a rings column (array<array<array<double>>>) as pure
+    Column expressions — flatten rings to coords, min/max each axis.
+    Codegen; a 100 TB polygon table never leaves the JVM for its bbox."""
+    coords = F.flatten(poly_col)
+    return {
+        "min_lon": F.array_min(F.transform(coords, lambda c: c.getItem(0))),
+        "min_lat": F.array_min(F.transform(coords, lambda c: c.getItem(1))),
+        "max_lon": F.array_max(F.transform(coords, lambda c: c.getItem(0))),
+        "max_lat": F.array_max(F.transform(coords, lambda c: c.getItem(1))),
+    }
+
+
+def _intersects_udf():
+    @F.pandas_udf(T.BooleanType())
+    def intersects(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        out = np.zeros(len(pa), dtype=bool)
+        for i, (ra, rb) in enumerate(zip(pa, pb)):
+            rings_a = [np.asarray([[p[0], p[1]] for p in ring], dtype=np.float64) for ring in ra]
+            rings_b = [np.asarray([[p[0], p[1]] for p in ring], dtype=np.float64) for ring in rb]
+            out[i] = geom.polygons_intersect(rings_a, rings_b)
+        return pd.Series(out)
+
+    return intersects
+
+
+def polygon_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int,
+    poly_col: str = "polygon",
+    salt_target_rows: int | None = None,
+    left_id: str | None = None,
+) -> DataFrame:
+    """Polygon⋈polygon intersects join: bbox cells candidate join
+    (envelope_intersect_join — dedup-free, JVM) + exact
+    polygons_intersect residual over the Arrow-batched candidates.
+    Closed semantics (boundary contact intersects). Inputs carry
+    ``poly_col`` rings plus payload; output is suffixed ``_a``/``_b``
+    with the helper bbox columns dropped."""
+    bba = polygon_bbox_cols(F.col(poly_col))
+    bbb = polygon_bbox_cols(F.col(poly_col))
+    la = left.withColumns(bba)
+    rb = right.withColumns(bbb)
+    cand = envelope_intersect_join(
+        la, rb, res, salt_target_rows=salt_target_rows, left_id=left_id
+    )
+    hit = _intersects_udf()
+    out = cand.filter(hit(F.col(poly_col + "_a"), F.col(poly_col + "_b")))
+    drop = [c + s for c in BOX_COLS for s in ("_a", "_b")]
+    return out.drop(*drop)

@@ -25,7 +25,7 @@ from pyspark.sql.functions import broadcast
 
 from .. import cells
 from ..functions.geo import haversine_m, sanitize_filename, yyyymmdd
-from ..operators import dedup, multimodal, relational, scan, similarity, spatial, text
+from ..operators import dedup, multimodal, overlap, relational, scan, similarity, spatial, text
 
 # ---------------------------------------------------------------------------
 # deterministic key → coordinate derivation (identical in SQL)
@@ -1838,6 +1838,12 @@ _DRIVER_TAIL = [
     # join family keeps j3/j6/j7/j8/j9 in-window) so the composed
     # curate_images_pipeline gets its driver row in CORRECTNESS_r04
     "j1_multiway_join",
+    # r4 twelfth addition: rest minhash_signatures and g3_point_buffer
+    # (both thrice-green; families keep minhash_lsh_pairs/simhash_pairs
+    # and a3_dissolve/g2_simplify_rdp/g5 clips in-window) so the new
+    # overlay joins j10_box_join and j11_polygon_join get driver rows
+    "minhash_signatures",
+    "g3_point_buffer",
 ]
 
 
@@ -3297,3 +3303,123 @@ def text_pii_scrub(spark, sf_dir):
         ).alias("text"),
     )
     return text.pii_scrub(aug)
+
+
+# ---- J10: envelope⋈envelope intersects join (both sides extended —
+# PBSM cell partitioning, canonical-cell dedup-free reporting) ----
+CUSTOMER_BOXES_SQL = f"""
+SELECT c_custkey,
+       ({lon_sql('(c_custkey * 17 + 3)')} - CAST((c_custkey % 11) + 1 AS DOUBLE) * 0.002) AS min_lon,
+       ({lon_sql('(c_custkey * 17 + 3)')} + CAST((c_custkey % 11) + 1 AS DOUBLE) * 0.002) AS max_lon,
+       ({lat_sql('(c_custkey * 29 + 11)')} - CAST((c_custkey % 5) + 1 AS DOUBLE) * 0.002) AS min_lat,
+       ({lat_sql('(c_custkey * 29 + 11)')} + CAST((c_custkey % 5) + 1 AS DOUBLE) * 0.002) AS max_lat
+FROM customer
+"""
+
+
+def customer_boxes(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    cx = lon_col(F.col("c_custkey") * 17 + 3)
+    cy = lat_col(F.col("c_custkey") * 29 + 11)
+    hw = ((F.col("c_custkey") % 11) + 1).cast("double") * F.lit(0.002)
+    hh = ((F.col("c_custkey") % 5) + 1).cast("double") * F.lit(0.002)
+    return c.select(
+        "c_custkey",
+        (cx - hw).alias("min_lon"),
+        (cx + hw).alias("max_lon"),
+        (cy - hh).alias("min_lat"),
+        (cy + hh).alias("max_lat"),
+    )
+
+
+@q(
+    "j10_box_join",
+    f"""
+SELECT a.c_custkey AS custkey, b.s_suppkey AS suppkey
+FROM ({CUSTOMER_BOXES_SQL}) a JOIN ({SUPPLIER_BOXES_SQL}) b
+  ON a.min_lon <= b.max_lon AND b.min_lon <= a.max_lon
+ AND a.min_lat <= b.max_lat AND b.min_lat <= a.max_lat
+""",
+)
+def j10_box_join(spark, sf_dir):
+    """J10 — box⋈box intersects join where BOTH sides are extended
+    objects (the reference only ever emits envelopes per feed,
+    formats/envelope.ts:14 — joining two envelope sets is engine-new).
+    One cell equi-join + canonical-cell filter, zero dedup shuffle,
+    pure JVM (plan audited in tests). Oracle: brute-force interval
+    overlap — both engines compute boxes with identical double
+    arithmetic off integer keys."""
+    a = customer_boxes(spark, sf_dir)
+    b = supplier_boxes(spark, sf_dir)
+    out = overlap.envelope_intersect_join(a, b, res=CELL_RES)
+    return out.select(
+        F.col("c_custkey_a").alias("custkey"), F.col("s_suppkey_b").alias("suppkey")
+    )
+
+
+# ---- J11: polygon⋈polygon intersects join — diamonds (45°-rotated
+# squares) so the exact residual really rejects bbox-overlap
+# candidates, while DuckDB checks the closed form: two diamonds of
+# half-diagonals h1/h2 intersect iff the rotated-frame (u = x+y,
+# v = x−y) center offsets both stay within h1+h2 ----
+_DIAMONDS_A_SQL = f"""
+SELECT c_custkey,
+       {lon_sql('(c_custkey * 17 + 3)')} AS cx,
+       {lat_sql('(c_custkey * 29 + 11)')} AS cy,
+       CAST((c_custkey % 9) + 1 AS DOUBLE) * 0.003 AS h
+FROM customer
+"""
+_DIAMONDS_B_SQL = f"""
+SELECT s_suppkey,
+       {lon_sql('(s_suppkey * 13 + 7)')} AS cx,
+       {lat_sql('(s_suppkey * 11 + 5)')} AS cy,
+       CAST((s_suppkey % 7) + 2 AS DOUBLE) * 0.004 AS h
+FROM supplier
+"""
+
+
+def _diamond_frame(base: DataFrame, key: str, cx, cy, h) -> DataFrame:
+    pt = lambda x, y: F.array(x, y)  # noqa: E731
+    ring = F.array(
+        pt(cx, cy - h), pt(cx + h, cy), pt(cx, cy + h), pt(cx - h, cy), pt(cx, cy - h)
+    )
+    return base.select(key, F.array(ring).alias("polygon"))
+
+
+@q(
+    "j11_polygon_join",
+    f"""
+SELECT a.c_custkey AS custkey, b.s_suppkey AS suppkey
+FROM ({_DIAMONDS_A_SQL}) a JOIN ({_DIAMONDS_B_SQL}) b
+  ON abs((a.cx + a.cy) - (b.cx + b.cy)) <= a.h + b.h
+ AND abs((a.cx - a.cy) - (b.cx - b.cy)) <= a.h + b.h
+""",
+)
+def j11_polygon_join(spark, sf_dir):
+    """J11 — polygon⋈polygon intersects join: J10's dedup-free bbox
+    cell candidates + the exact polygons_intersect Arrow residual.
+    Diamond fixtures make the residual load-bearing: bboxes of two
+    diamonds overlap strictly more often than the diamonds do, so the
+    oracle match proves the Python kernel rejected the corner misses
+    (the boundary set |Δu| = h1+h2 is measure-zero on the derived
+    double grid — same convention as j6b's haversine threshold)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    da = _diamond_frame(
+        c,
+        "c_custkey",
+        lon_col(F.col("c_custkey") * 17 + 3),
+        lat_col(F.col("c_custkey") * 29 + 11),
+        ((F.col("c_custkey") % 9) + 1).cast("double") * F.lit(0.003),
+    )
+    db = _diamond_frame(
+        s,
+        "s_suppkey",
+        lon_col(F.col("s_suppkey") * 13 + 7),
+        lat_col(F.col("s_suppkey") * 11 + 5),
+        ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.004),
+    )
+    out = overlap.polygon_intersect_join(da, db, res=CELL_RES)
+    return out.select(
+        F.col("c_custkey_a").alias("custkey"), F.col("s_suppkey_b").alias("suppkey")
+    )

@@ -1,0 +1,234 @@
+"""J10/J11 overlay joins: envelope⋈envelope and polygon⋈polygon
+intersects — brute-force equivalence, dedup-free uniqueness, salting,
+grid-edge clamping, and the geometry predicate's closed-form checks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_to_geojson_spark import geometry as geom
+from gtfs_to_geojson_spark.operators import overlap
+
+
+def _boxes(n, seed, lon0=-122.5, lat0=37.7, span=0.6, wmax=0.05):
+    rng = np.random.RandomState(seed)
+    cx = lon0 + rng.rand(n) * span
+    cy = lat0 + rng.rand(n) * span
+    hw = rng.rand(n) * wmax + 1e-4
+    hh = rng.rand(n) * wmax + 1e-4
+    return pd.DataFrame(
+        {
+            "bid": np.arange(n, dtype=np.int64),
+            "min_lon": cx - hw,
+            "min_lat": cy - hh,
+            "max_lon": cx + hw,
+            "max_lat": cy + hh,
+        }
+    )
+
+
+def _brute_pairs(a: pd.DataFrame, b: pd.DataFrame) -> set:
+    out = set()
+    for _, ra in a.iterrows():
+        hit = (
+            (ra.min_lon <= b.max_lon)
+            & (b.min_lon <= ra.max_lon)
+            & (ra.min_lat <= b.max_lat)
+            & (b.min_lat <= ra.max_lat)
+        )
+        for rb_id in b.bid[hit]:
+            out.add((int(ra.bid), int(rb_id)))
+    return out
+
+
+@pytest.mark.parametrize("res", [10, 13])
+def test_envelope_join_matches_brute_force(spark, res):
+    # res 13 cell ≈ 0.044° — smaller than the biggest boxes, so covers
+    # span many cells and the canonical-cell dedup is really exercised
+    a, b = _boxes(300, seed=1), _boxes(200, seed=2)
+    da, db = spark.createDataFrame(a), spark.createDataFrame(b)
+    got = overlap.envelope_intersect_join(da, db, res=res).select("bid_a", "bid_b").collect()
+    pairs = [(r.bid_a, r.bid_b) for r in got]
+    assert len(pairs) == len(set(pairs)), "canonical-cell dedup emitted duplicates"
+    assert set(pairs) == _brute_pairs(a, b)
+
+
+def test_envelope_join_salted_identical_pairs(spark):
+    a, b = _boxes(150, seed=3), _boxes(150, seed=4)
+    da, db = spark.createDataFrame(a), spark.createDataFrame(b)
+    plain = overlap.envelope_intersect_join(da, db, res=12)
+    # target of 3 rows/cell forces multi-lane factors on many cells
+    salted = overlap.envelope_intersect_join(
+        da, db, res=12, salt_target_rows=3, left_id="bid"
+    )
+    p = {(r.bid_a, r.bid_b) for r in plain.select("bid_a", "bid_b").collect()}
+    s_rows = salted.select("bid_a", "bid_b").collect()
+    s = {(r.bid_a, r.bid_b) for r in s_rows}
+    assert len(s_rows) == len(s)
+    assert p == s
+
+
+def test_envelope_join_grid_edge_clamp(spark):
+    # boxes straddling lon=180 / lat near pole: covers clamp, the exact
+    # predicate doesn't — pairs must still match brute force exactly
+    a = _boxes(80, seed=5, lon0=179.7, lat0=89.2, span=0.5, wmax=0.2)
+    b = _boxes(80, seed=6, lon0=179.7, lat0=89.2, span=0.5, wmax=0.2)
+    got = overlap.envelope_intersect_join(
+        spark.createDataFrame(a), spark.createDataFrame(b), res=9
+    )
+    pairs = [(r.bid_a, r.bid_b) for r in got.select("bid_a", "bid_b").collect()]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == _brute_pairs(a, b)
+
+
+def test_envelope_join_plan_is_jvm_only(spark):
+    a, b = _boxes(10, seed=7), _boxes(10, seed=8)
+    df = overlap.envelope_intersect_join(
+        spark.createDataFrame(a), spark.createDataFrame(b), res=12
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan
+    # dedup is the canonical-cell filter, not an aggregate
+    assert "HashAggregate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# polygons_intersect predicate
+# ---------------------------------------------------------------------------
+
+
+def _diamond(cx, cy, h):
+    return [
+        np.array(
+            [[cx, cy - h], [cx + h, cy], [cx, cy + h], [cx - h, cy], [cx, cy - h]],
+            dtype=np.float64,
+        )
+    ]
+
+
+def test_polygons_intersect_diamond_closed_form():
+    # |u1-u2| <= h1+h2 AND |v1-v2| <= h1+h2 in rotated coords (u=x+y, v=x-y)
+    rng = np.random.RandomState(11)
+    for _ in range(200):
+        c1 = rng.rand(2) * 2.0
+        c2 = rng.rand(2) * 2.0
+        h1, h2 = rng.rand() * 0.5 + 0.01, rng.rand() * 0.5 + 0.01
+        want = (
+            abs((c1[0] + c1[1]) - (c2[0] + c2[1])) <= h1 + h2
+            and abs((c1[0] - c1[1]) - (c2[0] - c2[1])) <= h1 + h2
+        )
+        got = geom.polygons_intersect(_diamond(*c1, h1), _diamond(*c2, h2))
+        assert got == want, (c1, c2, h1, h2)
+
+
+def _sat_convex_intersect(pa: np.ndarray, pb: np.ndarray) -> bool:
+    """Independent reference: separating-axis test for convex polygons
+    (different algorithm from the vertex-in + edge-cross kernel)."""
+    for poly in (pa, pb):
+        r = geom.close_ring(poly)
+        edges = r[1:] - r[:-1]
+        for ex, ey in edges:
+            ax = np.array([-ey, ex])
+            proj_a = pa @ ax
+            proj_b = pb @ ax
+            if proj_a.max() < proj_b.min() or proj_b.max() < proj_a.min():
+                return False
+    return True
+
+
+def test_polygons_intersect_vs_sat_random_convex():
+    rng = np.random.RandomState(17)
+    hulls = []
+    for _ in range(30):
+        pts = rng.rand(12, 2) * 1.5 + rng.rand(2) * 1.0
+        h = geom.convex_hull(pts)
+        assert h is not None
+        hulls.append(h)
+    n_hit = 0
+    for i in range(len(hulls)):
+        for j in range(i + 1, len(hulls)):
+            want = _sat_convex_intersect(hulls[i][:-1], hulls[j][:-1])
+            got = geom.polygons_intersect([hulls[i]], [hulls[j]])
+            assert got == want, (i, j)
+            n_hit += want
+    assert 0 < n_hit < len(hulls) * (len(hulls) - 1) // 2  # both outcomes exercised
+
+
+def test_polygons_intersect_edge_cases():
+    sq = [np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)]
+    inner = [np.array([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]], dtype=float)]
+    # containment without edge crossing, both directions
+    assert geom.polygons_intersect(sq, inner)
+    assert geom.polygons_intersect(inner, sq)
+    # cross shape: no vertex of either inside the other, edges cross
+    tall = [np.array([[0.8, -1], [1.2, -1], [1.2, 3], [0.8, 3], [0.8, -1]], dtype=float)]
+    wide = [np.array([[-1, 0.8], [3, 0.8], [3, 1.2], [-1, 1.2], [-1, 0.8]], dtype=float)]
+    assert geom.polygons_intersect(tall, wide)
+    # shared edge only (touch)
+    right = [np.array([[2, 0], [4, 0], [4, 2], [2, 2], [2, 0]], dtype=float)]
+    assert geom.polygons_intersect(sq, right)
+    # disjoint
+    far = [np.array([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]], dtype=float)]
+    assert not geom.polygons_intersect(sq, far)
+    # B inside A's hole: no intersection
+    donut = [
+        np.array([[-1, -1], [3, -1], [3, 3], [-1, 3], [-1, -1]], dtype=float),
+        np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float),
+    ]
+    assert not geom.polygons_intersect(donut, inner)
+    # but a polygon spanning hole AND annulus does intersect
+    assert geom.polygons_intersect(donut, tall)
+
+
+# ---------------------------------------------------------------------------
+# polygon⋈polygon join
+# ---------------------------------------------------------------------------
+
+
+def _diamond_rows(n, seed, lon0=-122.5, lat0=37.7, span=0.4, hmax=0.04):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        cx = lon0 + rng.rand() * span
+        cy = lat0 + rng.rand() * span
+        h = rng.rand() * hmax + 1e-4
+        rows.append(
+            {
+                "pid": i,
+                "cx": cx,
+                "cy": cy,
+                "h": h,
+                "polygon": [[[float(x), float(y)] for x, y in _diamond(cx, cy, h)[0]]],
+            }
+        )
+    return rows
+
+
+def test_polygon_join_matches_diamond_closed_form(spark):
+    ra, rb = _diamond_rows(120, seed=21), _diamond_rows(100, seed=22)
+    schema = "pid long, cx double, cy double, h double, polygon array<array<array<double>>>"
+    da = spark.createDataFrame(ra, schema=schema)
+    db = spark.createDataFrame(rb, schema=schema)
+    got = overlap.polygon_intersect_join(da, db, res=12)
+    pairs = [(r.pid_a, r.pid_b) for r in got.select("pid_a", "pid_b").collect()]
+    assert len(pairs) == len(set(pairs))
+    want = set()
+    for a in ra:
+        for b in rb:
+            if (
+                abs((a["cx"] + a["cy"]) - (b["cx"] + b["cy"])) <= a["h"] + b["h"]
+                and abs((a["cx"] - a["cy"]) - (b["cx"] - b["cy"])) <= a["h"] + b["h"]
+            ):
+                want.add((a["pid"], b["pid"]))
+    assert set(pairs) == want
+    # the bbox prefilter passes near-miss corner pairs that the exact
+    # residual must reject — make sure the rejection path actually ran
+    n_bbox = len(
+        overlap.envelope_intersect_join(
+            da.withColumns(overlap.polygon_bbox_cols(F.col("polygon"))),
+            db.withColumns(overlap.polygon_bbox_cols(F.col("polygon"))),
+            res=12,
+        ).collect()
+    )
+    assert n_bbox > len(want)

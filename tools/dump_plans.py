@@ -78,6 +78,10 @@ def main():
         # codegen stamp — 0 exchanges, 0 Python (the array_min argmin
         # over int64 struct distances fuses with the scan)
         "image_aspect_bucket": OQ.image_aspect_bucket(spark, sf_dir),
+        # r4 session 7: box⋈box overlay join — must show 0 Python, 0
+        # HashAggregate (dedup is the canonical-cell codegen filter,
+        # not a distinct), exactly the one cell equi-join exchange pair
+        "j10_box_join": OQ.j10_box_join(spark, sf_dir),
     }
 
     from gtfs_to_geojson_spark.operators import relational

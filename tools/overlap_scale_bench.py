@@ -1,0 +1,136 @@
+"""Heavy overlay-join run (operators/overlap.py scale evidence).
+
+Synthesizes two A×A lattices of boxes (left on integer lattice points,
+right offset by half a step — each right box overlaps exactly its 4
+surrounding left boxes), plus a deterministic hot cell (h duplicate
+boxes stacked on one interior lattice point on BOTH sides), runs
+envelope_intersect_join at local[$SPARK_GRAFT_CPUS], and validates the
+pair count against the exact closed form
+
+    pairs = (2A - 1)^2 + 8h + h^2
+
+(the (2A-1)^2 term is the lattice: each of the A^2 right boxes matches
+its in-range subset of 4 neighbors, which telescopes to (2A-1)^2; each
+hot-side duplicate re-matches the 4 originals → 8h; the duplicates
+cross-match each other → h^2). A second run with
+SPARK_GRAFT_OVERLAP_SALT_TARGET set splits the hot cell's h×h
+candidate block across adaptive salt lanes and must return the
+identical count.
+
+Run once per parallelism level (fresh JVM each, same methodology as
+tools/bench_scaling.py) and paste both JSON lines into
+BENCH/ROBUSTNESS.md:
+
+    SPARK_GRAFT_CPUS=8  python tools/overlap_scale_bench.py
+    SPARK_GRAFT_CPUS=32 python tools/overlap_scale_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+STEP = 0.001  # lattice spacing in degrees
+HALF = 0.0003  # box half-width: 2*HALF=0.0006 >= STEP/2 → 4-neighbor overlap
+LON0, LAT0 = -60.0, 10.0
+RES = 18  # cell ≈ 0.00137° — each box covers 1-2 cells per axis
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from gtfs_to_geojson_spark.operators import overlap
+    from gtfs_to_geojson_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    a = int(os.environ.get("SPARK_GRAFT_OVERLAP_A", "3163"))  # A^2 ≈ 10M per side
+    hot = int(os.environ.get("SPARK_GRAFT_OVERLAP_HOT", "10000"))
+    salt_target = int(os.environ.get("SPARK_GRAFT_OVERLAP_SALT_TARGET", "0"))
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="overlap-scale-bench",
+        shuffle_partitions=cpus * 4,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+            "spark.python.worker.faulthandler.enabled": "true",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def lattice(n_side: int, offset: float, id_base: int):
+        ids = spark.range(0, n_side * n_side, 1, cpus * 4)
+        i = (F.col("id") % n_side).cast("double")
+        j = (F.col("id") / n_side).cast("long").cast("double")
+        cx = F.lit(LON0) + (i + F.lit(offset)) * F.lit(STEP)
+        cy = F.lit(LAT0) + (j + F.lit(offset)) * F.lit(STEP)
+        return ids.select(
+            (F.col("id") + id_base).alias("bid"),
+            (cx - F.lit(HALF)).alias("min_lon"),
+            (cx + F.lit(HALF)).alias("max_lon"),
+            (cy - F.lit(HALF)).alias("min_lat"),
+            (cy + F.lit(HALF)).alias("max_lat"),
+        )
+
+    def hot_dups(n: int, offset: float, id_base: int):
+        # n duplicates of the box at interior lattice point (A//2, A//2)
+        i0 = a // 2
+        cx = LON0 + (i0 + offset) * STEP
+        cy = LAT0 + (i0 + offset) * STEP
+        return spark.range(0, n, 1, cpus).select(
+            (F.col("id") + id_base).alias("bid"),
+            F.lit(cx - HALF).alias("min_lon"),
+            F.lit(cx + HALF).alias("max_lon"),
+            F.lit(cy - HALF).alias("min_lat"),
+            F.lit(cy + HALF).alias("max_lat"),
+        )
+
+    left = lattice(a, 0.0, 0).unionAll(hot_dups(hot, 0.0, 10 * a * a))
+    right = lattice(a, 0.5, 0).unionAll(hot_dups(hot, 0.5, 10 * a * a))
+    # hot duplicates sit at lattice (A//2)+offset — the left dups copy
+    # left box (A//2, A//2), the right dups copy right box (A//2, A//2),
+    # and those two overlap each other, so the closed form applies.
+
+    want = (2 * a - 1) ** 2 + 8 * hot + hot * hot
+
+    t0 = time.time()
+    joined = overlap.envelope_intersect_join(
+        left,
+        right,
+        res=RES,
+        salt_target_rows=salt_target or None,
+        left_id="bid" if salt_target else None,
+    )
+    got = joined.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    wall = round(time.time() - t0, 3)
+
+    ok = got == want
+    n_boxes = 2 * (a * a + hot)
+    print(
+        json.dumps(
+            {
+                "metric": "overlap_envelope_join",
+                "cpus": cpus,
+                "A": a,
+                "hot": hot,
+                "salt_target": salt_target,
+                "n_boxes": n_boxes,
+                "pairs": got,
+                "pairs_expected": want,
+                "exact": ok,
+                "wall_s": wall,
+                "boxes_per_sec": round(n_boxes / wall, 1),
+            }
+        )
+    )
+    if not ok:
+        raise SystemExit(f"pair count mismatch: got {got} want {want}")
+
+
+if __name__ == "__main__":
+    main()
