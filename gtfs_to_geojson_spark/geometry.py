@@ -311,6 +311,47 @@ def polygons_intersect(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> 
     return False
 
 
+def _points_on_segments(px: np.ndarray, py: np.ndarray, a: np.ndarray, b: np.ndarray) -> bool:
+    """True if any point lies on any segment a[i]→b[i] (collinear +
+    inside the segment bbox, same tolerance family as points_in_ring)."""
+    ax, ay = a[:, 0][None, :], a[:, 1][None, :]
+    bx, by = b[:, 0][None, :], b[:, 1][None, :]
+    qx, qy = px[:, None], py[:, None]
+    cross = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+    scale = np.maximum(1.0, np.abs(bx - ax) + np.abs(by - ay))
+    on = (
+        (np.abs(cross) <= 1e-12 * scale)
+        & (qx >= np.minimum(ax, bx) - 1e-15)
+        & (qx <= np.maximum(ax, bx) + 1e-15)
+        & (qy >= np.minimum(ay, by) - 1e-15)
+        & (qy <= np.maximum(ay, by) + 1e-15)
+    )
+    return bool(np.any(on))
+
+
+def linestring_intersects_polygon(coords: np.ndarray, rings: list[np.ndarray]) -> bool:
+    """Exact closed-semantics intersects test for an open polyline vs a
+    simple polygon (outer + even-odd holes). Complete characterization:
+    they meet iff (a) some polyline vertex is in the polygon, or
+    (b) some ring vertex lies on a polyline segment, or (c) some
+    edge pair properly crosses. (A collinear boundary-slide with both
+    polyline endpoints outside is caught by (b): the overlapped ring
+    edge's endpoint lies on the polyline.) Residual of the distributed
+    line⋈polygon join (operators/overlap.py J12)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    rr = [np.asarray(r, dtype=np.float64) for r in rings]
+    if np.any(points_in_polygon(coords[:, 0], coords[:, 1], rr)):
+        return True
+    a0, a1 = coords[:-1], coords[1:]
+    for ring in rr:
+        if _points_on_segments(ring[:, 0], ring[:, 1], a0, a1):
+            return True
+        b0, b1 = _ring_edges(ring)
+        if edges_properly_cross(a0, a1, b0, b1):
+            return True
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Point ↔ segment distance (kNN snapping, J8)
 # ---------------------------------------------------------------------------

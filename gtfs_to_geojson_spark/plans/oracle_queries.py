@@ -1844,6 +1844,11 @@ _DRIVER_TAIL = [
     # overlay joins j10_box_join and j11_polygon_join get driver rows
     "minhash_signatures",
     "g3_point_buffer",
+    # r4 thirteenth addition: rest ann_ivf_topk (thrice-green; the ANN
+    # family keeps ann_ivf_trained AND ann_ivf_sq in-window, both of
+    # which execute the same IVF path end-to-end) so the new
+    # j12_line_polygon_join gets its driver row
+    "ann_ivf_topk",
 ]
 
 
@@ -3422,4 +3427,55 @@ def j11_polygon_join(spark, sf_dir):
     out = overlap.polygon_intersect_join(da, db, res=CELL_RES)
     return out.select(
         F.col("c_custkey_a").alias("custkey"), F.col("s_suppkey_b").alias("suppkey")
+    )
+
+
+# ---- J12: polyline⋈polygon intersects join — horizontal segments ×
+# diamonds, where the exact SQL form comes from parameterizing the
+# segment by x: it meets the diamond iff
+# [x0,x1] ∩ [uc−h−y, uc+h−y] ∩ [vc−h+y, vc+h+y] ≠ ∅ (u=x+y, v=x−y) ----
+_SEGMENTS_SQL = f"""
+SELECT o_orderkey,
+       {lon_sql('(o_orderkey * 19 + 3)')} AS x0,
+       {lon_sql('(o_orderkey * 19 + 3)')} + CAST((o_orderkey % 13) + 2 AS DOUBLE) * 0.003 AS x1,
+       {lat_sql('(o_orderkey * 7 + 1)')} AS y
+FROM orders
+"""
+
+
+@q(
+    "j12_line_polygon_join",
+    f"""
+SELECT a.o_orderkey AS orderkey, b.s_suppkey AS suppkey
+FROM ({_SEGMENTS_SQL}) a JOIN ({_DIAMONDS_B_SQL}) b
+  ON greatest(a.x0, (b.cx + b.cy) - b.h - a.y, (b.cx - b.cy) - b.h + a.y)
+     <= least(a.x1, (b.cx + b.cy) - a.y + b.h, (b.cx - b.cy) + a.y + b.h)
+""",
+)
+def j12_line_polygon_join(spark, sf_dir):
+    """J12 — polyline⋈polygon intersects join (route corridors × zones
+    at scale; the reference draws LineStrings but never joins them,
+    formats/lines.ts). Same dedup-free bbox-cell candidates as J10 +
+    the exact linestring_intersects_polygon Arrow residual. Horizontal
+    2-vertex segment fixtures give DuckDB a closed form while the
+    general multi-vertex kernel executes (general polylines are pinned
+    by test_overlap.py against crossing/touch/hole cases)."""
+    o = _t(spark, sf_dir, "orders")
+    x0 = lon_col(F.col("o_orderkey") * 19 + 3)
+    x1 = x0 + ((F.col("o_orderkey") % 13) + 2).cast("double") * F.lit(0.003)
+    y = lat_col(F.col("o_orderkey") * 7 + 1)
+    lines = o.select(
+        "o_orderkey", F.array(F.array(x0, y), F.array(x1, y)).alias("line")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    polys = _diamond_frame(
+        s,
+        "s_suppkey",
+        lon_col(F.col("s_suppkey") * 13 + 7),
+        lat_col(F.col("s_suppkey") * 11 + 5),
+        ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.004),
+    )
+    out = overlap.line_polygon_intersect_join(lines, polys, res=CELL_RES)
+    return out.select(
+        F.col("o_orderkey_a").alias("orderkey"), F.col("s_suppkey_b").alias("suppkey")
     )

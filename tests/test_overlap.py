@@ -232,3 +232,74 @@ def test_polygon_join_matches_diamond_closed_form(spark):
         ).collect()
     )
     assert n_bbox > len(want)
+
+
+# ---------------------------------------------------------------------------
+# linestring_intersects_polygon + line⋈polygon join
+# ---------------------------------------------------------------------------
+
+
+def test_linestring_intersects_polygon_cases():
+    sq = [np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)]
+    # crossing through without any vertex inside
+    assert geom.linestring_intersects_polygon(np.array([[-1.0, 1.0], [3.0, 1.0]]), sq)
+    # vertex inside
+    assert geom.linestring_intersects_polygon(np.array([[1.0, 1.0], [5.0, 5.0]]), sq)
+    # disjoint
+    assert not geom.linestring_intersects_polygon(np.array([[3.0, 3.0], [4.0, 4.0]]), sq)
+    # collinear slide along the boundary, endpoints beyond the edge
+    assert geom.linestring_intersects_polygon(np.array([[-1.0, 0.0], [3.0, 0.0]]), sq)
+    # touch at a single corner
+    assert geom.linestring_intersects_polygon(np.array([[2.0, 2.0], [3.0, 3.0]]), sq)
+    # multi-vertex polyline bending around the square without touching
+    path = np.array([[-0.5, -0.5], [2.5, -0.5], [2.5, 2.5], [-0.5, 2.5]])
+    assert not geom.linestring_intersects_polygon(path, sq)
+    # diagonal clip through the bottom edge, no vertex inside
+    assert geom.linestring_intersects_polygon(np.array([[1.0, -0.5], [2.5, 1.0]]), sq)
+    # line entirely inside a hole: no intersection
+    donut = [
+        np.array([[-1, -1], [3, -1], [3, 3], [-1, 3], [-1, -1]], dtype=float),
+        np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float),
+    ]
+    assert not geom.linestring_intersects_polygon(np.array([[0.5, 0.5], [1.5, 1.5]]), donut)
+    # line from hole into the annulus: intersects
+    assert geom.linestring_intersects_polygon(np.array([[0.5, 0.5], [2.9, 0.5]]), donut)
+
+
+def _h_segments(n, seed, lon0=-122.5, lat0=37.7, span=0.4, lmax=0.05):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        x0 = lon0 + rng.rand() * span
+        y = lat0 + rng.rand() * span
+        ln = rng.rand() * lmax + 1e-4
+        rows.append(
+            {"lid": i, "x0": x0, "x1": x0 + ln, "y": y,
+             "line": [[x0, y], [x0 + ln, y]]}
+        )
+    return rows
+
+
+def test_line_polygon_join_matches_closed_form(spark):
+    # horizontal segment vs diamond |u-uc|<=h, |v-vc|<=h has the exact
+    # closed form: [x0,x1] ∩ [uc-h-y, uc+h-y] ∩ [vc-h+y, vc+h+y] ≠ ∅
+    segs = _h_segments(150, seed=31)
+    dias = _diamond_rows(120, seed=32)
+    lines = spark.createDataFrame(
+        segs, schema="lid long, x0 double, x1 double, y double, line array<array<double>>"
+    ).select("lid", "line")
+    polys = spark.createDataFrame(
+        dias, schema="pid long, cx double, cy double, h double, polygon array<array<array<double>>>"
+    ).select("pid", "polygon")
+    got = overlap.line_polygon_intersect_join(lines, polys, res=12)
+    pairs = [(r.lid_a, r.pid_b) for r in got.select("lid_a", "pid_b").collect()]
+    assert len(pairs) == len(set(pairs))
+    want = set()
+    for s in segs:
+        for d in dias:
+            uc, vc = d["cx"] + d["cy"], d["cx"] - d["cy"]
+            lo = max(s["x0"], uc - d["h"] - s["y"], vc - d["h"] + s["y"])
+            hi = min(s["x1"], uc + d["h"] - s["y"], vc + d["h"] + s["y"])
+            if lo <= hi:
+                want.add((s["lid"], d["pid"]))
+    assert set(pairs) == want
