@@ -195,6 +195,21 @@ def cell_col(lat: Column, lon: Column, res: int) -> Column:
     ).alias(f"cell_r{res}")
 
 
+def cell_bounds_col(cell: Column, res: int) -> dict[str, Column]:
+    """Cell id → its lon/lat bounding box, built-ins only (the Column
+    mirror of :func:`cell_bounds`) — lets a tile-id column become a
+    join-ready envelope without leaving codegen."""
+    n = float(1 << res)
+    x = F.shiftright(cell, _XY_BITS).bitwiseAND(F.lit((1 << _XY_BITS) - 1)).cast("double")
+    y = cell.bitwiseAND(F.lit((1 << _XY_BITS) - 1)).cast("double")
+    return {
+        "min_lon": x / F.lit(n) * F.lit(360.0) - F.lit(180.0),
+        "min_lat": y / F.lit(n) * F.lit(180.0) - F.lit(90.0),
+        "max_lon": (x + F.lit(1.0)) / F.lit(n) * F.lit(360.0) - F.lit(180.0),
+        "max_lat": (y + F.lit(1.0)) / F.lit(n) * F.lit(180.0) - F.lit(90.0),
+    }
+
+
 def parent_col(cell: Column, res: int, parent_res: int) -> Column:
     """Re-pack a cell Column at a coarser resolution, built-ins only."""
     d = res - parent_res

@@ -116,3 +116,53 @@ def image_density_per_route_cell(
     tile = cells.cell_col(F.col("lat"), F.col("lon"), res)
     out = assigned.withColumn("cell", cells.parent_col(tile, res, rollup_res))
     return out.groupBy("route_id", "cell").agg(F.count(F.lit(1)).alias("n_images"))
+
+
+def image_tiles_in_route_corridors(
+    images: DataFrame,
+    feed,
+    q: BaseQuery | None = None,
+    meters: float = 400.0,
+    tile_res: int = 18,
+    join_res: int = 15,
+) -> DataFrame:
+    """North-star composition: which OCCUPIED image tiles overlap which
+    buffered route corridors (raster-tile ↔ vector overlay, J9 × J11).
+    The image table is first collapsed to per-tile counts (the join
+    input is |occupied tiles|, not |images| — at 10^12 images that is
+    the difference between joining a trillion rows and joining the
+    tile histogram), each tile becomes its exact cell rectangle via
+    the codegen bounds columns, and the rectangles join the corridor
+    polygons through the dedup-free overlay join with the exact
+    polygon residual. Output: (tile, n_images, route_id)."""
+    from . import overlap
+
+    tiles = (
+        spatial.assign_images_to_tiles(images, tile_res)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+    b = cells.cell_bounds_col(F.col("tile"), tile_res)
+    pt = lambda x, y: F.array(x, y)  # noqa: E731
+    rect = F.array(
+        F.array(
+            pt(b["min_lon"], b["min_lat"]),
+            pt(b["max_lon"], b["min_lat"]),
+            pt(b["max_lon"], b["max_lat"]),
+            pt(b["min_lon"], b["max_lat"]),
+            pt(b["min_lon"], b["min_lat"]),
+        )
+    )
+    tile_rects = tiles.select("tile", "n_images", rect.alias("polygon"))
+    corridors = route_buffer_polygons(feed, q, meters)
+    out = overlap.polygon_intersect_join(tile_rects, corridors, res=join_res)
+    # a route's corridor may be several polygons (one per shape line) —
+    # report per (tile, route)
+    return (
+        out.select(
+            F.col("tile_a").alias("tile"),
+            F.col("n_images_a").alias("n_images"),
+            F.col("route_id_b").alias("route_id"),
+        )
+        .dropDuplicates(["tile", "route_id"])
+    )

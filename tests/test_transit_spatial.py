@@ -98,3 +98,41 @@ def test_image_density_rollup(feed, images_df):
     if len(out):
         res_bits = (out["cell"].to_numpy() >> 58)
         assert set(res_bits.tolist()) == {10}  # rolled to the coarse res
+
+
+def test_image_tiles_in_route_corridors_exact(spark, feed, images_df):
+    from gtfs_to_geojson_spark import cells
+    from gtfs_to_geojson_spark.operators import spatial
+
+    tile_res = 16
+    got = {
+        (r["tile"], r["route_id"])
+        for r in TS.image_tiles_in_route_corridors(
+            images_df, feed, tile_res=tile_res, join_res=13
+        ).collect()
+    }
+    # brute force: every occupied tile rectangle × every corridor ring
+    tiles = (
+        spatial.assign_images_to_tiles(images_df, tile_res)
+        .groupBy("tile").count().collect()
+    )
+    corridors = TS.route_buffer_polygons(feed).collect()
+    want = set()
+    for t in tiles:
+        mnx, mny, mxx, mxy = (float(v[0]) for v in cells.cell_bounds(
+            np.array([t["tile"]], dtype=np.int64)))
+        rect = [np.array(
+            [[mnx, mny], [mxx, mny], [mxx, mxy], [mnx, mxy], [mnx, mny]], dtype=float
+        )]
+        for c in corridors:
+            rings = [np.asarray([[p[0], p[1]] for p in ring]) for ring in c["polygon"]]
+            if g.polygons_intersect(rect, rings):
+                want.add((t["tile"], c["route_id"]))
+    assert got == want
+    assert len(got) > 0
+    # n_images must equal the per-tile histogram
+    hist = {t["tile"]: t["count"] for t in tiles}
+    for r in TS.image_tiles_in_route_corridors(
+        images_df, feed, tile_res=tile_res, join_res=13
+    ).collect():
+        assert r["n_images"] == hist[r["tile"]]
