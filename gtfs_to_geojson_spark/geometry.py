@@ -286,6 +286,29 @@ def edges_properly_cross(
     return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
 
 
+def convex_polygons_intersect_batch(pa: np.ndarray, pb: np.ndarray) -> np.ndarray:
+    """Batched separating-axis intersects test for CONVEX polygon pairs
+    — (B, na, 2) × (B, nb, 2) open rings (pad ragged batches by
+    repeating the last vertex: a zero-length edge yields a zero axis
+    whose projections all coincide, which can never certify
+    separation). Closed semantics: touching counts as intersecting
+    (separation requires a STRICT projection gap). Fully vectorized —
+    no per-pair Python — which is what makes it the fast path of the
+    distributed polygon⋈polygon join for convex inputs."""
+    pa = np.asarray(pa, dtype=np.float64)
+    pb = np.asarray(pb, dtype=np.float64)
+
+    def axes(p):
+        e = np.roll(p, -1, axis=1) - p
+        return np.stack([-e[..., 1], e[..., 0]], axis=-1)
+
+    ax = np.concatenate([axes(pa), axes(pb)], axis=1)  # (B, na+nb, 2)
+    proj_a = np.einsum("bnd,bvd->bnv", ax, pa)
+    proj_b = np.einsum("bnd,bvd->bnv", ax, pb)
+    sep = (proj_a.max(-1) < proj_b.min(-1)) | (proj_b.max(-1) < proj_a.min(-1))
+    return ~sep.any(axis=1)
+
+
 def polygons_intersect(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> bool:
     """Exact closed-semantics intersects test for two simple polygons
     (outer ring + optional even-odd holes). Complete characterization:

@@ -1849,6 +1849,11 @@ _DRIVER_TAIL = [
     # which execute the same IVF path end-to-end) so the new
     # j12_line_polygon_join gets its driver row
     "ann_ivf_topk",
+    # r4 fourteenth addition: rest simhash_pairs (thrice-green; the
+    # signature family keeps minhash_lsh_pairs, phash_near_dup AND
+    # dedup_clusters in-window) so j11b_polygon_join_convex (batched
+    # SAT residual) gets its driver row
+    "simhash_pairs",
 ]
 
 
@@ -3478,4 +3483,42 @@ def j12_line_polygon_join(spark, sf_dir):
     out = overlap.line_polygon_intersect_join(lines, polys, res=CELL_RES)
     return out.select(
         F.col("o_orderkey_a").alias("orderkey"), F.col("s_suppkey_b").alias("suppkey")
+    )
+
+
+# ---- J11b: the convex (batched SAT) residual on the same diamond
+# fixtures and the same closed-form oracle — the fast path must emit
+# the identical pair set as the general kernel ----
+@q(
+    "j11b_polygon_join_convex",
+    f"""
+SELECT a.c_custkey AS custkey, b.s_suppkey AS suppkey
+FROM ({_DIAMONDS_A_SQL}) a JOIN ({_DIAMONDS_B_SQL}) b
+  ON abs((a.cx + a.cy) - (b.cx + b.cy)) <= a.h + b.h
+ AND abs((a.cx - a.cy) - (b.cx - b.cy)) <= a.h + b.h
+""",
+)
+def j11b_polygon_join_convex(spark, sf_dir):
+    """J11b — assume_convex=True routes the residual through the
+    batched separating-axis kernel (no per-pair Python loop); the
+    unchanged closed-form oracle pins its exactness every round."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    da = _diamond_frame(
+        c,
+        "c_custkey",
+        lon_col(F.col("c_custkey") * 17 + 3),
+        lat_col(F.col("c_custkey") * 29 + 11),
+        ((F.col("c_custkey") % 9) + 1).cast("double") * F.lit(0.003),
+    )
+    db = _diamond_frame(
+        s,
+        "s_suppkey",
+        lon_col(F.col("s_suppkey") * 13 + 7),
+        lat_col(F.col("s_suppkey") * 11 + 5),
+        ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.004),
+    )
+    out = overlap.polygon_intersect_join(da, db, res=CELL_RES, assume_convex=True)
+    return out.select(
+        F.col("c_custkey_a").alias("custkey"), F.col("s_suppkey_b").alias("suppkey")
     )

@@ -303,3 +303,56 @@ def test_line_polygon_join_matches_closed_form(spark):
             if lo <= hi:
                 want.add((s["lid"], d["pid"]))
     assert set(pairs) == want
+
+
+# ---------------------------------------------------------------------------
+# batched convex SAT kernel + convex join fast path
+# ---------------------------------------------------------------------------
+
+
+def test_convex_batch_matches_general_kernel():
+    rng = np.random.RandomState(41)
+    hulls = []
+    while len(hulls) < 40:
+        pts = rng.rand(10, 2) * 1.5 + rng.rand(2) * 1.2
+        h = geom.convex_hull(pts)
+        if h is not None and len(h) >= 4:
+            hulls.append(h)
+    pa_l, pb_l, want = [], [], []
+    for i in range(len(hulls)):
+        for j in range(i + 1, len(hulls)):
+            pa_l.append(hulls[i])
+            pb_l.append(hulls[j])
+            want.append(geom.polygons_intersect([hulls[i]], [hulls[j]]))
+    def pad(rings):
+        open_r = [r[:-1] for r in rings]
+        m = max(len(r) for r in open_r)
+        out = np.empty((len(open_r), m, 2))
+        for i, r in enumerate(open_r):
+            out[i, : len(r)] = r
+            out[i, len(r):] = r[-1]
+        return out
+    got = geom.convex_polygons_intersect_batch(pad(pa_l), pad(pb_l))
+    assert got.tolist() == want
+    assert 0 < sum(want) < len(want)
+    # touching squares and containment
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], dtype=float)
+    cases = np.stack([sq + [2, 0], sq + [2.1, 0], sq * 0.25 + 0.5, sq + [1, 1]])
+    base = np.broadcast_to(sq, cases.shape)
+    assert geom.convex_polygons_intersect_batch(base, cases).tolist() == [
+        True, False, True, True
+    ]
+
+
+def test_polygon_join_convex_fast_path_identical(spark):
+    ra, rb = _diamond_rows(120, seed=21), _diamond_rows(100, seed=22)
+    schema = "pid long, cx double, cy double, h double, polygon array<array<array<double>>>"
+    da = spark.createDataFrame(ra, schema=schema)
+    db = spark.createDataFrame(rb, schema=schema)
+    slow = overlap.polygon_intersect_join(da, db, res=12)
+    fast = overlap.polygon_intersect_join(da, db, res=12, assume_convex=True)
+    s = {(r.pid_a, r.pid_b) for r in slow.select("pid_a", "pid_b").collect()}
+    f_rows = fast.select("pid_a", "pid_b").collect()
+    f = {(r.pid_a, r.pid_b) for r in f_rows}
+    assert len(f_rows) == len(f)
+    assert s == f

@@ -34,13 +34,23 @@ import time
 
 sys.path.insert(0, ".")
 
+# plain `python` launch gets a 1g driver heap (NOTES_r4 lesson) — the
+# 20M-polygon shuffled-hash build needs real memory on this 128 GiB host
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell")
+
 STEP = 0.001  # lattice spacing in degrees
 HALF = 0.0003  # box half-width: 2*HALF=0.0006 >= STEP/2 → 4-neighbor overlap
 LON0, LAT0 = -60.0, 10.0
 RES = 18  # cell ≈ 0.00137° — each box covers 1-2 cells per axis
 
 
+HALF_D = 0.0003  # left diamond half-diagonal
+H_EVEN = 0.0003  # right half-diagonal, even-parity cells: candidate but reject
+H_ODD = 0.00075  # right half-diagonal, odd-parity cells: accept
+
+
 def main():
+    import numpy as np
     from pyspark.sql import functions as F
 
     from gtfs_to_geojson_spark.operators import overlap
@@ -50,6 +60,13 @@ def main():
     a = int(os.environ.get("SPARK_GRAFT_OVERLAP_A", "3163"))  # A^2 ≈ 10M per side
     hot = int(os.environ.get("SPARK_GRAFT_OVERLAP_HOT", "10000"))
     salt_target = int(os.environ.get("SPARK_GRAFT_OVERLAP_SALT_TARGET", "0"))
+    # mode=diamond: polygon_intersect_join over diamonds whose
+    # half-diagonal alternates with cell parity, sized so EVERY
+    # neighbor pair is a bbox candidate but only odd-parity right
+    # diamonds pass the exact residual — the rejection path runs on
+    # ~half the candidate stream. convex=1 uses the batched SAT kernel.
+    mode = os.environ.get("SPARK_GRAFT_OVERLAP_MODE", "box")
+    convex = os.environ.get("SPARK_GRAFT_OVERLAP_CONVEX", "0") == "1"
 
     spark = get_spark(
         master=f"local[{cpus}]",
@@ -89,6 +106,60 @@ def main():
             F.lit(cy - HALF).alias("min_lat"),
             F.lit(cy + HALF).alias("max_lat"),
         )
+
+    if mode == "diamond":
+        def diamonds(n_side: int, offset: float):
+            ids = spark.range(0, n_side * n_side, 1, cpus * 4)
+            i = (F.col("id") % n_side).cast("double")
+            j = (F.col("id") / n_side).cast("long").cast("double")
+            cx = F.lit(LON0) + (i + F.lit(offset)) * F.lit(STEP)
+            cy = F.lit(LAT0) + (j + F.lit(offset)) * F.lit(STEP)
+            if offset == 0.0:
+                h = F.lit(HALF_D)
+            else:
+                odd = (F.col("id") % n_side + (F.col("id") / n_side).cast("long")) % 2 == 1
+                h = F.when(odd, F.lit(H_ODD)).otherwise(F.lit(H_EVEN))
+            pt = lambda x, y: F.array(x, y)  # noqa: E731
+            ring = F.array(
+                pt(cx, cy - h), pt(cx + h, cy), pt(cx, cy + h), pt(cx - h, cy), pt(cx, cy - h)
+            )
+            return ids.select(F.col("id").alias("bid"), F.array(ring).alias("polygon"))
+
+        # exact ground truth, vectorized: only odd-parity right diamonds
+        # pass (h_l + h_odd >= STEP); each counts its in-range neighbors
+        ii, jj = np.meshgrid(np.arange(a), np.arange(a), indexing="ij")
+        odd = (ii + jj) % 2 == 1
+        n_nb = (2 - (ii == a - 1)) * (2 - (jj == a - 1))
+        want = int(n_nb[odd].sum())
+        assert HALF_D + H_ODD >= STEP > HALF_D + H_EVEN >= STEP / 2
+
+        t0 = time.time()
+        joined = overlap.polygon_intersect_join(
+            diamonds(a, 0.0), diamonds(a, 0.5), res=RES, assume_convex=convex
+        )
+        got = joined.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        wall = round(time.time() - t0, 3)
+        candidates = (2 * a - 1) ** 2
+        print(
+            json.dumps(
+                {
+                    "metric": "overlap_polygon_join",
+                    "cpus": cpus,
+                    "A": a,
+                    "convex_kernel": convex,
+                    "n_polygons": 2 * a * a,
+                    "candidates": candidates,
+                    "pairs": got,
+                    "pairs_expected": want,
+                    "exact": got == want,
+                    "wall_s": wall,
+                    "candidates_per_sec": round(candidates / wall, 1),
+                }
+            )
+        )
+        if got != want:
+            raise SystemExit(f"pair count mismatch: got {got} want {want}")
+        return
 
     left = lattice(a, 0.0, 0).unionAll(hot_dups(hot, 0.0, 10 * a * a))
     right = lattice(a, 0.5, 0).unionAll(hot_dups(hot, 0.5, 10 * a * a))
