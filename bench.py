@@ -395,6 +395,47 @@ def main():
 
         run("j8d_knn_grid_1m", j8d_grid, best_of=reps)
 
+        # j10: both-sides-extended overlay join (PBSM canonical-cell) —
+        # two 1000² box lattices offset half a step, each right box
+        # overlapping exactly its 4 in-range neighbors; the count is
+        # asserted against the exact closed form (2A−1)² every run, so
+        # this row is a correctness gate as well as a timing.
+        from gtfs_to_geojson_spark.operators import overlap as OV
+
+        j10_a = 1000
+
+        def box_lattice_cache(offset: float) -> str:
+            tag = str(offset).replace(".", "p")
+            path = f"/tmp/spark_graft_bench_boxlat_{j10_a}_{tag}.parquet"
+            if os.path.exists(path):
+                return path
+            step, half = 0.001, 0.0003
+            ids = spark.range(j10_a * j10_a)
+            i = (F.col("id") % j10_a).cast("double")
+            jj = (F.col("id") / j10_a).cast("long").cast("double")
+            cx = F.lit(-60.0) + (i + F.lit(offset)) * F.lit(step)
+            cy = F.lit(10.0) + (jj + F.lit(offset)) * F.lit(step)
+            ids.select(
+                F.col("id").alias("bid"),
+                (cx - F.lit(half)).alias("min_lon"),
+                (cx + F.lit(half)).alias("max_lon"),
+                (cy - F.lit(half)).alias("min_lat"),
+                (cy + F.lit(half)).alias("max_lat"),
+            ).repartition(64).write.mode("overwrite").parquet(path)
+            return path
+
+        la_path, rb_path = box_lattice_cache(0.0), box_lattice_cache(0.5)
+
+        def j10_overlay():
+            j = OV.envelope_intersect_join(
+                spark.read.parquet(la_path), spark.read.parquet(rb_path), res=18
+            )
+            n = j.count()
+            assert n == (2 * j10_a - 1) ** 2, f"overlay pair count {n} != closed form"
+            return n
+
+        run("j10_box_lattice_1m", j10_overlay, best_of=reps)
+
         run("j1_multiway_join", lambda: OQ.j1_multiway_join(spark, sf_dir).count(), best_of=reps)
         run(
             "a7_ordered_collect", lambda: OQ.a7_ordered_collect(spark, sf_dir).count(), best_of=reps
