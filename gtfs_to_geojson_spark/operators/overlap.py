@@ -312,3 +312,26 @@ def line_polygon_intersect_join(
     out = cand.filter(hit(F.col(line_col + "_a"), F.col(poly_col + "_b")))
     drop = [c + s for c in BOX_COLS for s in ("_a", "_b")]
     return out.drop(*drop)
+
+
+def zonal_counts(
+    left: DataFrame,
+    zones: DataFrame,
+    res: int,
+    zone_cols: list[str],
+    weight_col: str | None = None,
+    shuffle_hash: bool = True,
+) -> DataFrame:
+    """Zonal statistics over the overlay join: how many left envelopes
+    (images, AOIs, footprints) intersect each zone, plus an optional
+    weighted sum. One extra partial+final aggregation on top of the
+    dedup-free join — the pair set itself never re-shuffles (the
+    canonical-cell filter guarantees each pair is counted once, so no
+    count-distinct is needed; a naive cell join would need one).
+    ``zone_cols`` name the zone-side identity columns (pre-suffix)."""
+    j = envelope_intersect_join(left, zones, res, shuffle_hash=shuffle_hash)
+    keys = [F.col(c + "_b").alias(c) for c in zone_cols]
+    aggs = [F.count(F.lit(1)).alias("n_left")]
+    if weight_col is not None:
+        aggs.append(F.sum(F.col(weight_col + "_a")).alias("sum_" + weight_col))
+    return j.groupBy(*keys).agg(*aggs)

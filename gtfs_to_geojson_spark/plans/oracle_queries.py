@@ -1854,6 +1854,11 @@ _DRIVER_TAIL = [
     # dedup_clusters in-window) so j11b_polygon_join_convex (batched
     # SAT residual) gets its driver row
     "simhash_pairs",
+    # r4 fifteenth addition: rest j6_point_in_envelope (thrice-green;
+    # the envelope-machinery family keeps j10_box_join, j12 and
+    # j7_point_in_polygon in-window) so the new a15_zonal_stats
+    # (zonal aggregation on the overlay) gets its driver row
+    "j6_point_in_envelope",
 ]
 
 
@@ -3521,4 +3526,34 @@ def j11b_polygon_join_convex(spark, sf_dir):
     out = overlap.polygon_intersect_join(da, db, res=CELL_RES, assume_convex=True)
     return out.select(
         F.col("c_custkey_a").alias("custkey"), F.col("s_suppkey_b").alias("suppkey")
+    )
+
+
+# ---- A15: zonal statistics over the overlay join — per-zone envelope
+# counts + weighted sum, no count-distinct (the canonical-cell filter
+# already made pairs unique) ----
+@q(
+    "a15_zonal_stats",
+    f"""
+SELECT b.s_suppkey AS suppkey,
+       count(*) AS n_left,
+       sum(a.c_custkey) AS sum_w
+FROM ({CUSTOMER_BOXES_SQL}) a JOIN ({SUPPLIER_BOXES_SQL}) b
+  ON a.min_lon <= b.max_lon AND b.min_lon <= a.max_lon
+ AND a.min_lat <= b.max_lat AND b.min_lat <= a.max_lat
+GROUP BY 1
+""",
+)
+def a15_zonal_stats(spark, sf_dir):
+    """A15 — zonal aggregation composed on J10: count + weighted sum of
+    customer envelopes per supplier zone. The oracle's plain GROUP BY
+    over the brute-force pair set doubles as proof that the overlay
+    emitted each pair exactly once (any duplicate would break n_left)."""
+    a = customer_boxes(spark, sf_dir).withColumn(
+        "w", F.col("c_custkey").cast("long")
+    )
+    b = supplier_boxes(spark, sf_dir)
+    out = overlap.zonal_counts(a, b, res=CELL_RES, zone_cols=["s_suppkey"], weight_col="w")
+    return out.select(
+        F.col("s_suppkey").alias("suppkey"), "n_left", F.col("sum_w").alias("sum_w")
     )

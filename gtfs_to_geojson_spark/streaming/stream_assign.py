@@ -240,3 +240,58 @@ def run_stream_dedup_to_parquet(
     if timeout_s is not None:
         q.awaitTermination(timeout_s)
     return q
+
+
+BOX_SCHEMA = "bid long, min_lon double, min_lat double, max_lon double, max_lat double"
+
+
+def stream_envelope_assignments(
+    spark: SparkSession,
+    input_dir: str,
+    zones: DataFrame,
+    res: int = 14,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Streaming J10: a stream of envelopes (image footprints, AOI
+    boxes) overlay-joined against a STATIC zone table with the same
+    ``envelope_intersect_join`` call as batch — the overlay is
+    stateless per row (cover explode → stream-static equi-join →
+    canonical-cell filter), so no watermark or state store is needed
+    and restart semantics come entirely from the file-source /
+    checkpoint contract. Salting stays off (it needs a pre-count the
+    unbounded stream can't provide); dense-zone skew is bounded by the
+    static side instead: the per-micro-batch join replicates zones at
+    most cells-per-zone times."""
+    from ..operators.overlap import envelope_intersect_join
+
+    boxes = (
+        spark.readStream.schema(BOX_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return envelope_intersect_join(boxes, zones, res=res)
+
+
+def run_envelope_stream_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    zones: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    res: int = 14,
+    timeout_s: float | None = None,
+):
+    """Append-mode overlay sink; availableNow drains the backlog and
+    the checkpoint makes a second invocation process ONLY new drops."""
+    out = stream_envelope_assignments(spark, input_dir, zones, res)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout_s is not None:
+        q.awaitTermination(timeout_s)
+    return q

@@ -356,3 +356,50 @@ def test_polygon_join_convex_fast_path_identical(spark):
     f = {(r.pid_a, r.pid_b) for r in f_rows}
     assert len(f_rows) == len(f)
     assert s == f
+
+
+# ---------------------------------------------------------------------------
+# streaming overlay: stream of boxes × static zones
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_envelope_assign_matches_batch_and_resumes(spark, tmp_path):
+    """Stream-static overlay: drop 1 → drain; drop 2 → restart drains
+    ONLY the new file (checkpoint), and the accumulated output equals
+    the batch overlay join over everything."""
+    import os
+
+    from gtfs_to_geojson_spark.streaming.stream_assign import (
+        run_envelope_stream_to_parquet,
+    )
+
+    boxes = _boxes(240, seed=51)
+    zones = _boxes(60, seed=52)
+    zones_df = spark.createDataFrame(zones)
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    os.makedirs(in_dir)
+    half = len(boxes) // 2
+    boxes.iloc[:half].to_parquet(in_dir / "drop1.parquet", index=False)
+
+    q = run_envelope_stream_to_parquet(
+        spark, str(in_dir), zones_df, str(out_dir), str(ckpt), res=12, timeout_s=120
+    )
+    q.stop()
+    n1 = spark.read.parquet(str(out_dir)).count()
+
+    boxes.iloc[half:].to_parquet(in_dir / "drop2.parquet", index=False)
+    q2 = run_envelope_stream_to_parquet(
+        spark, str(in_dir), zones_df, str(out_dir), str(ckpt), res=12, timeout_s=120
+    )
+    q2.stop()
+
+    out = spark.read.parquet(str(out_dir))
+    got = [(r.bid_a, r.bid_b) for r in out.select("bid_a", "bid_b").collect()]
+    assert len(got) == len(set(got)), "restart reprocessed old drops"
+    assert n1 < len(got)
+    batch = overlap.envelope_intersect_join(
+        spark.createDataFrame(boxes), zones_df, res=12
+    )
+    want = {(r.bid_a, r.bid_b) for r in batch.select("bid_a", "bid_b").collect()}
+    assert set(got) == want == _brute_pairs(boxes, zones)
