@@ -375,6 +375,63 @@ def linestring_intersects_polygon(coords: np.ndarray, rings: list[np.ndarray]) -
     return False
 
 
+def segments_intersect_batch(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
+) -> np.ndarray:
+    """Batched closed-semantics intersects test for (B,) segment pairs
+    (each arg (B, 2)) — the fully-vectorized single-segment case of
+    :func:`polylines_intersect` (same orientation + on-segment math,
+    same tolerances): proper crossing, endpoint touches, and collinear
+    overlaps (some endpoint then lies on the other segment)."""
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    ax0, ay0, ax1, ay1 = a0[:, 0], a0[:, 1], a1[:, 0], a1[:, 1]
+    bx0, by0, bx1, by1 = b0[:, 0], b0[:, 1], b1[:, 0], b1[:, 1]
+    d1 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d2 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    d3 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d4 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+
+    def on_seg(px, py, sx0, sy0, sx1, sy1, cross):
+        scale = np.maximum(1.0, np.abs(sx1 - sx0) + np.abs(sy1 - sy0))
+        return (
+            (np.abs(cross) <= 1e-12 * scale)
+            & (px >= np.minimum(sx0, sx1) - 1e-15)
+            & (px <= np.maximum(sx0, sx1) + 1e-15)
+            & (py >= np.minimum(sy0, sy1) - 1e-15)
+            & (py <= np.maximum(sy0, sy1) + 1e-15)
+        )
+
+    touch = (
+        on_seg(bx0, by0, ax0, ay0, ax1, ay1, d1)
+        | on_seg(bx1, by1, ax0, ay0, ax1, ay1, d2)
+        | on_seg(ax0, ay0, bx0, by0, bx1, by1, d3)
+        | on_seg(ax1, ay1, bx0, by0, bx1, by1, d4)
+    )
+    return proper | touch
+
+
+def polylines_intersect(coords_a: np.ndarray, coords_b: np.ndarray) -> bool:
+    """Exact closed-semantics intersects test for two open polylines:
+    they meet iff some edge pair properly crosses, or a vertex of
+    either lies on a segment of the other (which also covers every
+    collinear-overlap contact: the overlapped span's interior endpoint
+    is a vertex of one line on the other). Residual of the distributed
+    line⋈line join (operators/overlap.py J13 — route crossings)."""
+    coords_a = np.asarray(coords_a, dtype=np.float64)
+    coords_b = np.asarray(coords_b, dtype=np.float64)
+    a0, a1 = coords_a[:-1], coords_a[1:]
+    b0, b1 = coords_b[:-1], coords_b[1:]
+    if _points_on_segments(coords_a[:, 0], coords_a[:, 1], b0, b1):
+        return True
+    if _points_on_segments(coords_b[:, 0], coords_b[:, 1], a0, a1):
+        return True
+    return edges_properly_cross(a0, a1, b0, b1)
+
+
 # ---------------------------------------------------------------------------
 # Point ↔ segment distance (kNN snapping, J8)
 # ---------------------------------------------------------------------------

@@ -285,6 +285,21 @@ def _line_intersects_udf():
     return intersects
 
 
+def _segment_convex_udf():
+    @F.pandas_udf(T.BooleanType())
+    def intersects(la: pd.Series, pb: pd.Series) -> pd.Series:
+        if len(la) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        segs = np.asarray(
+            [[[p[0][0], p[0][1]], [p[1][0], p[1][1]]] for p in la], dtype=np.float64
+        )
+        return pd.Series(
+            geom.convex_polygons_intersect_batch(segs, _pad_open_rings(pb))
+        )
+
+    return intersects
+
+
 def line_polygon_intersect_join(
     lines: DataFrame,
     polygons: DataFrame,
@@ -294,6 +309,7 @@ def line_polygon_intersect_join(
     salt_target_rows: int | None = None,
     left_id: str | None = None,
     shuffle_hash: bool = True,
+    assume_convex: bool = False,
 ) -> DataFrame:
     """J12 — polyline⋈polygon intersects join (route corridors × zones):
     the same dedup-free bbox-cell candidate join, with the exact
@@ -301,14 +317,20 @@ def line_polygon_intersect_join(
     (boundary contact intersects). Lines carry ``line_col`` coords
     (array<array<double>>), polygons carry ``poly_col`` rings; output
     is suffixed ``_a`` (lines) / ``_b`` (polygons), helper bbox columns
-    dropped."""
+    dropped.
+
+    ``assume_convex=True`` routes the residual through the batched SAT
+    kernel (a segment is a degenerate 2-vertex convex polygon, so the
+    separating-axis test is exact for segment × convex polygon) — no
+    per-pair Python loop. Requires 2-point lines and convex hole-free
+    polygons; the general kernel handles everything else."""
     la = lines.withColumns(linestring_bbox_cols(F.col(line_col)))
     rb = polygons.withColumns(polygon_bbox_cols(F.col(poly_col)))
     cand = envelope_intersect_join(
         la, rb, res, salt_target_rows=salt_target_rows, left_id=left_id,
         shuffle_hash=shuffle_hash,
     )
-    hit = _line_intersects_udf()
+    hit = _segment_convex_udf() if assume_convex else _line_intersects_udf()
     out = cand.filter(hit(F.col(line_col + "_a"), F.col(poly_col + "_b")))
     drop = [c + s for c in BOX_COLS for s in ("_a", "_b")]
     return out.drop(*drop)
@@ -335,3 +357,57 @@ def zonal_counts(
     if weight_col is not None:
         aggs.append(F.sum(F.col(weight_col + "_a")).alias("sum_" + weight_col))
     return j.groupBy(*keys).agg(*aggs)
+
+
+def _lines_intersect_udf():
+    @F.pandas_udf(T.BooleanType())
+    def intersects(la: pd.Series, lb: pd.Series) -> pd.Series:
+        if len(la) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        # single-segment batches (the common GPS-trace/route-leg case)
+        # take the fully-vectorized kernel — no per-pair Python loop
+        if all(len(a) == 2 for a in la) and all(len(b) == 2 for b in lb):
+            def ends(col, idx):
+                return np.asarray(
+                    [[p[idx][0], p[idx][1]] for p in col], dtype=np.float64
+                )
+            return pd.Series(
+                geom.segments_intersect_batch(
+                    ends(la, 0), ends(la, 1), ends(lb, 0), ends(lb, 1)
+                )
+            )
+        out = np.zeros(len(la), dtype=bool)
+        for i, (a, b) in enumerate(zip(la, lb)):
+            ca = np.asarray([[p[0], p[1]] for p in a], dtype=np.float64)
+            cb = np.asarray([[p[0], p[1]] for p in b], dtype=np.float64)
+            out[i] = geom.polylines_intersect(ca, cb)
+        return pd.Series(out)
+
+    return intersects
+
+
+def line_line_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int,
+    line_col: str = "line",
+    salt_target_rows: int | None = None,
+    left_id: str | None = None,
+    shuffle_hash: bool = True,
+) -> DataFrame:
+    """J13 — polyline⋈polyline intersects join (where do route
+    corridors cross?): the same dedup-free bbox-cell candidates with
+    the exact polylines_intersect residual (proper crossings, vertex
+    touches, collinear overlaps — closed semantics). Completes the
+    engine's join matrix: every {point, box, line, polygon} pair now
+    has a distributed join."""
+    la = left.withColumns(linestring_bbox_cols(F.col(line_col)))
+    rb = right.withColumns(linestring_bbox_cols(F.col(line_col)))
+    cand = envelope_intersect_join(
+        la, rb, res, salt_target_rows=salt_target_rows, left_id=left_id,
+        shuffle_hash=shuffle_hash,
+    )
+    hit = _lines_intersect_udf()
+    out = cand.filter(hit(F.col(line_col + "_a"), F.col(line_col + "_b")))
+    drop = [c + s for c in BOX_COLS for s in ("_a", "_b")]
+    return out.drop(*drop)

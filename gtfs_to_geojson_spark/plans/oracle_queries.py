@@ -1859,6 +1859,11 @@ _DRIVER_TAIL = [
     # j7_point_in_polygon in-window) so the new a15_zonal_stats
     # (zonal aggregation on the overlay) gets its driver row
     "j6_point_in_envelope",
+    # r4 sixteenth addition: rest a7_ordered_collect (thrice-green;
+    # the ordered-collect family keeps j4_ordered_lookup AND
+    # o2_toposort in-window) so the new j13_line_line_join (completing
+    # the join matrix) gets its driver row
+    "a7_ordered_collect",
 ]
 
 
@@ -3556,4 +3561,51 @@ def a15_zonal_stats(spark, sf_dir):
     out = overlap.zonal_counts(a, b, res=CELL_RES, zone_cols=["s_suppkey"], weight_col="w")
     return out.select(
         F.col("s_suppkey").alias("suppkey"), "n_left", F.col("sum_w").alias("sum_w")
+    )
+
+
+# ---- J13: polyline⋈polyline intersects join — horizontal orders
+# segments × vertical part segments; a pair meets iff x ∈ [x0,x1] AND
+# y ∈ [y0,y1], which DuckDB checks with two BETWEENs ----
+_VSEGMENTS_SQL = f"""
+SELECT p_partkey,
+       {lon_sql('(p_partkey * 23 + 5)')} AS x,
+       {lat_sql('(p_partkey * 31 + 9)')} AS y0,
+       {lat_sql('(p_partkey * 31 + 9)')} + CAST((p_partkey % 11) + 2 AS DOUBLE) * 0.002 AS y1
+FROM part
+"""
+
+
+@q(
+    "j13_line_line_join",
+    f"""
+SELECT a.o_orderkey AS orderkey, b.p_partkey AS partkey
+FROM ({_SEGMENTS_SQL}) a JOIN ({_VSEGMENTS_SQL}) b
+  ON b.x >= a.x0 AND b.x <= a.x1
+ AND a.y >= b.y0 AND a.y <= b.y1
+""",
+)
+def j13_line_line_join(spark, sf_dir):
+    """J13 — polyline⋈polyline intersects (route crossings; completes
+    the {point, box, line, polygon} join matrix). Horizontal × vertical
+    segment fixtures give DuckDB a two-BETWEEN closed form while the
+    general crossing/touch/collinear kernel executes (general zigzags
+    pinned by test_overlap.py)."""
+    o = _t(spark, sf_dir, "orders")
+    x0 = lon_col(F.col("o_orderkey") * 19 + 3)
+    x1 = x0 + ((F.col("o_orderkey") % 13) + 2).cast("double") * F.lit(0.003)
+    y = lat_col(F.col("o_orderkey") * 7 + 1)
+    lines_h = o.select(
+        "o_orderkey", F.array(F.array(x0, y), F.array(x1, y)).alias("line")
+    )
+    p = _t(spark, sf_dir, "part")
+    vx = lon_col(F.col("p_partkey") * 23 + 5)
+    vy0 = lat_col(F.col("p_partkey") * 31 + 9)
+    vy1 = vy0 + ((F.col("p_partkey") % 11) + 2).cast("double") * F.lit(0.002)
+    lines_v = p.select(
+        "p_partkey", F.array(F.array(vx, vy0), F.array(vx, vy1)).alias("line")
+    )
+    out = overlap.line_line_intersect_join(lines_h, lines_v, res=CELL_RES)
+    return out.select(
+        F.col("o_orderkey_a").alias("orderkey"), F.col("p_partkey_b").alias("partkey")
     )

@@ -403,3 +403,107 @@ def test_streaming_envelope_assign_matches_batch_and_resumes(spark, tmp_path):
     )
     want = {(r.bid_a, r.bid_b) for r in batch.select("bid_a", "bid_b").collect()}
     assert set(got) == want == _brute_pairs(boxes, zones)
+
+
+# ---------------------------------------------------------------------------
+# polylines_intersect + line⋈line join
+# ---------------------------------------------------------------------------
+
+
+def test_polylines_intersect_cases():
+    h = np.array([[0.0, 0.0], [2.0, 0.0]])
+    # proper cross
+    assert geom.polylines_intersect(h, np.array([[1.0, -1.0], [1.0, 1.0]]))
+    # endpoint touch on interior
+    assert geom.polylines_intersect(h, np.array([[1.0, 0.0], [1.0, 3.0]]))
+    # endpoint-to-endpoint touch
+    assert geom.polylines_intersect(h, np.array([[2.0, 0.0], [3.0, 1.0]]))
+    # collinear overlap
+    assert geom.polylines_intersect(h, np.array([[1.0, 0.0], [5.0, 0.0]]))
+    # parallel, offset — disjoint
+    assert not geom.polylines_intersect(h, np.array([[0.0, 0.1], [2.0, 0.1]]))
+    # multi-vertex zigzag crossing on its third segment only
+    zig = np.array([[0.0, 1.0], [0.5, 2.0], [1.0, 1.0], [1.5, -1.0]])
+    assert geom.polylines_intersect(h, zig)
+    # same zigzag lifted clear
+    assert not geom.polylines_intersect(h, zig + [0.0, 3.0])
+
+
+def _v_segments(n, seed, lon0=-122.5, lat0=37.7, span=0.4, lmax=0.05):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        x = lon0 + rng.rand() * span
+        y0 = lat0 + rng.rand() * span
+        ln = rng.rand() * lmax + 1e-4
+        rows.append(
+            {"vid": i, "x": x, "y0": y0, "y1": y0 + ln,
+             "line": [[x, y0], [x, y0 + ln]]}
+        )
+    return rows
+
+
+def test_line_line_join_matches_closed_form(spark):
+    # horizontal [x0,x1]×{y} meets vertical {x}×[y0,y1] iff
+    # x ∈ [x0,x1] and y ∈ [y0,y1] — exact, no geometry kernel needed
+    hs = _h_segments(200, seed=61)
+    vs = _v_segments(150, seed=62)
+    lines_h = spark.createDataFrame(
+        hs, schema="lid long, x0 double, x1 double, y double, line array<array<double>>"
+    ).select("lid", "line")
+    lines_v = spark.createDataFrame(
+        vs, schema="vid long, x double, y0 double, y1 double, line array<array<double>>"
+    ).select("vid", "line")
+    got = overlap.line_line_intersect_join(lines_h, lines_v, res=12)
+    pairs = [(r.lid_a, r.vid_b) for r in got.select("lid_a", "vid_b").collect()]
+    assert len(pairs) == len(set(pairs))
+    want = {
+        (s["lid"], v["vid"])
+        for s in hs
+        for v in vs
+        if s["x0"] <= v["x"] <= s["x1"] and v["y0"] <= s["y"] <= v["y1"]
+    }
+    assert set(pairs) == want
+    assert len(want) > 0
+
+
+def test_segments_batch_matches_polylines_kernel():
+    rng = np.random.RandomState(71)
+    B = 4000
+    a0 = rng.rand(B, 2) * 2
+    a1 = a0 + rng.randn(B, 2) * 0.6
+    b0 = rng.rand(B, 2) * 2
+    b1 = b0 + rng.randn(B, 2) * 0.6
+    got = geom.segments_intersect_batch(a0, a1, b0, b1)
+    want = np.array([
+        geom.polylines_intersect(np.stack([a0[i], a1[i]]), np.stack([b0[i], b1[i]]))
+        for i in range(B)
+    ])
+    assert np.array_equal(got, want)
+    assert 0 < got.sum() < B
+    # touch + collinear overlap cases
+    h0, h1 = np.array([[0.0, 0.0]]), np.array([[2.0, 0.0]])
+    cases = [
+        (np.array([[1.0, 0.0]]), np.array([[1.0, 1.0]]), True),   # endpoint on interior
+        (np.array([[1.0, 0.0]]), np.array([[5.0, 0.0]]), True),   # collinear overlap
+        (np.array([[2.0, 0.0]]), np.array([[3.0, 1.0]]), True),   # endpoint touch
+        (np.array([[0.0, 0.1]]), np.array([[2.0, 0.1]]), False),  # parallel offset
+    ]
+    for c0, c1, want_v in cases:
+        assert geom.segments_intersect_batch(h0, h1, c0, c1)[0] == want_v
+
+
+def test_line_polygon_join_convex_fast_path_identical(spark):
+    segs = _h_segments(150, seed=31)
+    dias = _diamond_rows(120, seed=32)
+    lines = spark.createDataFrame(
+        segs, schema="lid long, x0 double, x1 double, y double, line array<array<double>>"
+    ).select("lid", "line")
+    polys = spark.createDataFrame(
+        dias, schema="pid long, cx double, cy double, h double, polygon array<array<array<double>>>"
+    ).select("pid", "polygon")
+    slow = overlap.line_polygon_intersect_join(lines, polys, res=12)
+    fast = overlap.line_polygon_intersect_join(lines, polys, res=12, assume_convex=True)
+    s = {(r.lid_a, r.pid_b) for r in slow.select("lid_a", "pid_b").collect()}
+    f = {(r.lid_a, r.pid_b) for r in fast.select("lid_a", "pid_b").collect()}
+    assert s == f and len(s) > 0
