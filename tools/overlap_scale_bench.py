@@ -107,6 +107,72 @@ def main():
             F.lit(cy + HALF).alias("max_lat"),
         )
 
+    if mode == "segment":
+        # left: horizontal segments of length 0.7·STEP at every lattice
+        # point. right, by cell parity: odd → vertical segment through
+        # the matching h-segment (exactly one hit, never a neighbor);
+        # even → a diagonal whose bbox overlaps the h-segment's but
+        # which passes beyond its right end (candidate, exact reject).
+        # candidates = A², accepted = #odd-parity cells.
+        def h_segments():
+            ids = spark.range(0, a * a, 1, cpus * 4)
+            i = (F.col("id") % a).cast("double")
+            j = (F.col("id") / a).cast("long").cast("double")
+            x0 = F.lit(LON0) + i * F.lit(STEP)
+            y = F.lit(LAT0) + j * F.lit(STEP)
+            pt = lambda x, yy: F.array(x, yy)  # noqa: E731
+            return ids.select(
+                F.col("id").alias("bid"),
+                F.array(pt(x0, y), pt(x0 + F.lit(0.7 * STEP), y)).alias("line"),
+            )
+
+        def r_segments():
+            ids = spark.range(0, a * a, 1, cpus * 4)
+            il = F.col("id") % a
+            jl = (F.col("id") / a).cast("long")
+            i = il.cast("double")
+            j = jl.cast("double")
+            odd = (il + jl) % 2 == 1
+            pt = lambda x, yy: F.array(x, yy)  # noqa: E731
+            vx = F.lit(LON0) + (i + F.lit(0.25)) * F.lit(STEP)
+            vy0 = F.lit(LAT0) + (j - F.lit(0.25)) * F.lit(STEP)
+            vy1 = F.lit(LAT0) + (j + F.lit(0.25)) * F.lit(STEP)
+            dx0 = F.lit(LON0) + (i + F.lit(0.6)) * F.lit(STEP)
+            dx1 = F.lit(LON0) + (i + F.lit(0.9)) * F.lit(STEP)
+            dy0 = F.lit(LAT0) + (j - F.lit(0.1)) * F.lit(STEP)
+            dy1 = F.lit(LAT0) + (j + F.lit(0.1)) * F.lit(STEP)
+            line = F.when(odd, F.array(pt(vx, vy0), pt(vx, vy1))).otherwise(
+                F.array(pt(dx0, dy0), pt(dx1, dy1))
+            )
+            return ids.select(F.col("id").alias("bid"), line.alias("line"))
+
+        ii, jj = np.meshgrid(np.arange(a), np.arange(a), indexing="ij")
+        want = int(((ii + jj) % 2 == 1).sum())
+
+        t0 = time.time()
+        joined = overlap.line_line_intersect_join(h_segments(), r_segments(), res=RES)
+        got = joined.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        wall = round(time.time() - t0, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "overlap_segment_join",
+                    "cpus": cpus,
+                    "A": a,
+                    "n_segments": 2 * a * a,
+                    "candidates": a * a,
+                    "pairs": got,
+                    "pairs_expected": want,
+                    "exact": got == want,
+                    "wall_s": wall,
+                    "candidates_per_sec": round(a * a / wall, 1),
+                }
+            )
+        )
+        if got != want:
+            raise SystemExit(f"pair count mismatch: got {got} want {want}")
+        return
+
     if mode == "diamond":
         def diamonds(n_side: int, offset: float):
             ids = spark.range(0, n_side * n_side, 1, cpus * 4)
