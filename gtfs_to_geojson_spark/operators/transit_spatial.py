@@ -74,6 +74,52 @@ def snap_stops_to_shapes(feed, q: BaseQuery | None = None, res: int = 18, k: int
     )
 
 
+def stop_shape_dist_traveled(
+    feed, q: BaseQuery | None = None, kx: float = 1.0, ky: float = 1.0
+) -> DataFrame:
+    """G14 at the transit level: derive ``shape_dist_traveled`` for
+    every stop_time by snapping the stop to its trip's OWN shape
+    (keyed linear referencing — the reference's data model carries the
+    column, gtfs spec shapes.txt, but the reference never computes it).
+
+    Scale shape: geometry runs once per DISTINCT (stop, shape) pair —
+    the big stop_times table only re-joins the finished answers (two
+    hash joins, no geometry in the 10^12-row stream). Distances/along
+    are in the kx/ky metric (degrees at the default; pass
+    linear_ref.meters_scale(lat) for meters)."""
+    q = q or BaseQuery()
+    from . import linear_ref
+
+    st = feed["stop_times"].join(
+        feed["trips"].select("trip_id", "shape_id"), "trip_id"
+    )
+    pairs = (
+        st.select("stop_id", "shape_id")
+        .distinct()
+        .join(feed["stops"].select("stop_id", "stop_lon", "stop_lat"), "stop_id")
+        .select(
+            F.col("stop_id").alias("point_id"),
+            F.col("shape_id").alias("line_key"),
+            F.col("stop_lon").alias("lon"),
+            F.col("stop_lat").alias("lat"),
+        )
+    )
+    verts = feed["shapes"].select(
+        F.col("shape_id").alias("line_id"),
+        F.col("shape_pt_sequence").alias("seq"),
+        F.col("shape_pt_lon").alias("x"),
+        F.col("shape_pt_lat").alias("y"),
+    )
+    segs = linear_ref.segments_from_vertices(verts, x="x", y="y", kx=kx, ky=ky)
+    located = linear_ref.locate_along_keyed(pairs, segs, key="line_key").select(
+        F.col("point_id").alias("stop_id"),
+        F.col("line_id").alias("shape_id"),
+        F.col("along").alias("shape_dist_traveled"),
+        F.col("dist").alias("snap_dist"),
+    )
+    return st.join(located, ["stop_id", "shape_id"])
+
+
 def route_buffer_polygons(feed, q: BaseQuery | None = None, meters: float = 400.0) -> DataFrame:
     """Per-route buffer polygon (the lines-buffer format's geometry) as
     a join-ready (route_id, polygon) frame."""

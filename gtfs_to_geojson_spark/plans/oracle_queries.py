@@ -25,7 +25,18 @@ from pyspark.sql.functions import broadcast
 
 from .. import cells
 from ..functions.geo import haversine_m, sanitize_filename, yyyymmdd
-from ..operators import dedup, multimodal, overlap, relational, scan, similarity, spatial, text
+from ..operators import (
+    dedup,
+    linear_ref,
+    multimodal,
+    overlap,
+    raster,
+    relational,
+    scan,
+    similarity,
+    spatial,
+    text,
+)
 
 # ---------------------------------------------------------------------------
 # deterministic key → coordinate derivation (identical in SQL)
@@ -1864,6 +1875,18 @@ _DRIVER_TAIL = [
     # o2_toposort in-window) so the new j13_line_line_join (completing
     # the join matrix) gets its driver row
     "a7_ordered_collect",
+    # r4 seventeenth addition: rest three thrice-green veterans, each
+    # with in-window family coverage (sample_stratified <- the text
+    # family's five in-window rows; j7_point_in_polygon <- the exact
+    # polygon-residual family j11/j11b/j12 + a3_dissolve's ray cast;
+    # minhash_lsh_pairs <- phash_near_dup runs the same banded
+    # signature_near_pairs machinery at combos=2 and dedup_clusters
+    # consumes LSH pairs) so the new linear-referencing + raster
+    # queries (j14_snap_nearest_segment, g14_locate_along,
+    # r1_rasterize_density) get driver rows in CORRECTNESS_r04
+    "sample_stratified",
+    "j7_point_in_polygon",
+    "minhash_lsh_pairs",
 ]
 
 
@@ -3609,3 +3632,193 @@ def j13_line_line_join(spark, sf_dir):
     return out.select(
         F.col("o_orderkey_a").alias("orderkey"), F.col("p_partkey_b").alias("partkey")
     )
+
+
+# ---- J14: radius-bounded nearest-segment snap (linear referencing,
+# unkeyed) — customers snap to horizontal orders segments. The general
+# clamped-projection kernel executes in Spark; the oracle reproduces
+# the SAME formula (structurally identical IEEE-754 expression order,
+# the cell_sql/cell_col parity discipline) over a brute-force cross
+# join, then argmins with the kernel's exact (dist2, line, seg) order.
+# seg fixtures: line_id=o_orderkey, one segment each, cum0=0 ----
+_SNAP_RADIUS = 0.004
+_SNAP_CAND_SQL = f"""
+SELECT c_custkey, o_orderkey,
+       (wx - t * ex) * (wx - t * ex) + (wy - t * ey) * (wy - t * ey) AS d2,
+       t * sqrt(ex * ex + ey * ey) AS along
+FROM (
+  SELECT c_custkey, o_orderkey, ex, ey, wx, wy,
+         least(greatest(CASE WHEN ex * ex + ey * ey > 0.0
+                             THEN (wx * ex + wy * ey) / (ex * ex + ey * ey)
+                             ELSE 0.0 END, 0.0), 1.0) AS t
+  FROM (
+    SELECT p.c_custkey, s.o_orderkey,
+           (s.x1 - s.x0) * 1.0 AS ex, (s.y - s.y) * 1.0 AS ey,
+           (p.lon - s.x0) * 1.0 AS wx, (p.lat - s.y) * 1.0 AS wy
+    FROM ({CUSTOMER_POINTS_SQL}) p CROSS JOIN ({_SEGMENTS_SQL}) s
+  )
+)
+"""
+
+
+@q(
+    "j14_snap_nearest_segment",
+    f"""
+SELECT c_custkey AS custkey, o_orderkey AS orderkey,
+       round(along, 6) AS along_r, round(sqrt(d2), 6) AS dist_r
+FROM (
+  SELECT c_custkey, o_orderkey, d2, along,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY d2, o_orderkey) AS rn
+  FROM ({_SNAP_CAND_SQL})
+  WHERE d2 <= {_SNAP_RADIUS} * {_SNAP_RADIUS}
+) WHERE rn = 1
+""",
+)
+def j14_snap_nearest_segment(spark, sf_dir):
+    """J14 — nearest-segment snap + linear reference within a radius
+    (map-matching primitive; GTFS stop→shape matching at web scale —
+    the reference carries shapes but never derives the match,
+    src/lib/formats/lines.ts). Cell-cover candidates with the radius
+    folded into the segment bbox pad, then ONE map-side-combinable
+    argmin (operators/linear_ref.py). Horizontal single-segment
+    fixtures give DuckDB the brute-force mirror while the general
+    polyline kernel executes (general zigzags, clamps, ties and the
+    scaled metric are pinned by tests/test_linear_raster.py)."""
+    pts = customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "point_id")
+    o = _t(spark, sf_dir, "orders")
+    x0 = lon_col(F.col("o_orderkey") * 19 + 3)
+    x1 = x0 + ((F.col("o_orderkey") % 13) + 2).cast("double") * F.lit(0.003)
+    y = lat_col(F.col("o_orderkey") * 7 + 1)
+    segs = o.select(
+        F.col("o_orderkey").alias("line_id"),
+        F.lit(0).cast("long").alias("seg_idx"),
+        x0.alias("ax"),
+        y.alias("ay"),
+        x1.alias("bx"),
+        y.alias("by"),
+        F.lit(0.0).alias("cum0"),
+    )
+    out = linear_ref.snap_points_to_segments(pts, segs, max_dist=_SNAP_RADIUS, res=16)
+    return out.select(
+        F.col("point_id").alias("custkey"),
+        F.col("line_id").alias("orderkey"),
+        F.round(F.col("along"), 6).alias("along_r"),
+        F.round(F.col("dist"), 6).alias("dist_r"),
+    )
+
+
+# ---- G14: keyed linear referencing (shape_dist_traveled) — customers
+# locate along their NATION's polyline (suppliers ordered by suppkey
+# are the vertices). The oracle rebuilds segments with lead()/window
+# cumsum and mirrors the projection formula expression-for-expression ----
+@q(
+    "g14_locate_along",
+    f"""
+WITH v AS (
+  SELECT s_nationkey % 5 AS line_id, s_suppkey AS seq,
+         {lon_sql('(s_suppkey * 37 + 11)')} AS x,
+         {lat_sql('(s_suppkey * 41 + 17)')} AS y
+  FROM supplier
+), seg0 AS (
+  SELECT line_id,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS seg_idx,
+         x AS ax, y AS ay,
+         lead(x) OVER w AS bx, lead(y) OVER w AS by
+  FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq)
+), seg AS (
+  SELECT line_id, seg_idx, ax, ay, bx, by,
+         coalesce(sum(sqrt((bx - ax) * 1.0 * ((bx - ax) * 1.0)
+                           + (by - ay) * 1.0 * ((by - ay) * 1.0)))
+                  OVER (PARTITION BY line_id ORDER BY seg_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0) AS cum0
+  FROM seg0 WHERE bx IS NOT NULL
+), cand AS (
+  SELECT c_custkey, line_id, seg_idx,
+         (wx - t * ex) * (wx - t * ex) + (wy - t * ey) * (wy - t * ey) AS d2,
+         cum0 + t * sqrt(ex * ex + ey * ey) AS along
+  FROM (
+    SELECT c_custkey, line_id, seg_idx, cum0, ex, ey, wx, wy,
+           least(greatest(CASE WHEN ex * ex + ey * ey > 0.0
+                               THEN (wx * ex + wy * ey) / (ex * ex + ey * ey)
+                               ELSE 0.0 END, 0.0), 1.0) AS t
+    FROM (
+      SELECT p.c_custkey, s.line_id, s.seg_idx, s.cum0,
+             (s.bx - s.ax) * 1.0 AS ex, (s.by - s.ay) * 1.0 AS ey,
+             (p.lon - s.ax) * 1.0 AS wx, (p.lat - s.ay) * 1.0 AS wy
+      FROM (SELECT c_custkey, c_nationkey % 5 AS c_linekey,
+                   {lon_sql('c_custkey')} AS lon, {lat_sql('c_custkey')} AS lat
+            FROM customer) p
+      JOIN seg s ON s.line_id = p.c_linekey
+    )
+  )
+)
+SELECT c_custkey AS custkey, line_id AS linekey, seg_idx,
+       round(along, 6) AS along_r, round(sqrt(d2), 6) AS dist_r
+FROM (
+  SELECT c_custkey, line_id, seg_idx, d2, along,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY d2, seg_idx) AS rn
+  FROM cand
+) WHERE rn = 1
+""",
+)
+def g14_locate_along(spark, sf_dir):
+    """G14 — keyed linear referencing: distance along the line to the
+    snapped foot (the GTFS ``shape_dist_traveled`` derivation; transit
+    wrapper transit_spatial.stop_shape_dist_traveled). One hash join on
+    the line key + one partial-aggregating argmin; the per-line lead +
+    running-length windows build the segment table
+    (linear_ref.segments_from_vertices)."""
+    sup = _t(spark, sf_dir, "supplier")
+    verts = sup.select(
+        (F.col("s_nationkey") % 5).alias("line_id"),
+        F.col("s_suppkey").alias("seq"),
+        lon_col(F.col("s_suppkey") * 37 + 11).alias("x"),
+        lat_col(F.col("s_suppkey") * 41 + 17).alias("y"),
+    )
+    segs = linear_ref.segments_from_vertices(verts, x="x", y="y")
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_nationkey") % 5).alias("line_key"),
+        lon_col(F.col("c_custkey")).alias("lon"),
+        lat_col(F.col("c_custkey")).alias("lat"),
+    )
+    out = linear_ref.locate_along_keyed(pts, segs, key="line_key")
+    return out.select(
+        F.col("point_id").alias("custkey"),
+        F.col("line_id").alias("linekey"),
+        "seg_idx",
+        F.round(F.col("along"), 6).alias("along_r"),
+        F.round(F.col("dist"), 6).alias("dist_r"),
+    )
+
+
+# ---- R1: rasterization — per-tile pixel-count grids from the image
+# geotag point cloud (the geospatial→image direction; the PNG render of
+# the same counts is pinned by decode-roundtrip pytest, DuckDB has no
+# codec). Pure bit arithmetic on the cells.py grid; exact SQL mirror ----
+@q(
+    "r1_rasterize_density",
+    f"""
+SELECT tile, px_x, px_y, count(*) AS n
+FROM (
+  SELECT {raster.rasterize_sql(lat_sql('(l_orderkey * 6 + l_linenumber)'),
+                               lon_sql('(l_orderkey * 6 + l_linenumber)'),
+                               TILE_RES, 4)}
+  FROM lineitem
+)
+GROUP BY 1, 2, 3
+""",
+)
+def r1_rasterize_density(spark, sf_dir):
+    """R1 — density rasterization: every point maps to (tile, pixel)
+    with shift/mask arithmetic (a pixel IS a grid cell at
+    tile_res+px_bits), ONE partially-aggregating groupBy counts — the
+    output is bounded by the raster, not the 10^12-point input
+    (operators/raster.py; density_tiles paints + PNG-encodes the same
+    frame, tests/test_linear_raster.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 6 + F.col("l_linenumber")
+    pts = li.select(lon_col(key).alias("lon"), lat_col(key).alias("lat"))
+    return raster.rasterize_counts(pts, TILE_RES, 4)

@@ -1,0 +1,367 @@
+"""J14/G14 linear referencing + R1 rasterization: brute-force numpy
+equivalence, clamp/degenerate edges, tie-break determinism, radius
+exclusion, cumulative-offset correctness, and raster decode-roundtrip."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_to_geojson_spark import cells, images
+from gtfs_to_geojson_spark.operators import linear_ref, raster
+
+
+# ---------------------------------------------------------------------------
+# numpy reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _brute_snap(pts: pd.DataFrame, segs: pd.DataFrame, kx=1.0, ky=1.0, max_dist=None):
+    """Per point: argmin over ALL segments of the clamped-projection
+    distance, tie-break (dist2, line_id, seg_idx); returns dict
+    point_id -> (line_id, seg_idx, t, along, dist)."""
+    out = {}
+    ex = (segs.bx - segs.ax).to_numpy() * kx
+    ey = (segs.by - segs.ay).to_numpy() * ky
+    len2 = ex * ex + ey * ey
+    for _, p in pts.iterrows():
+        wx = (p.lon - segs.ax.to_numpy()) * kx
+        wy = (p.lat - segs.ay.to_numpy()) * ky
+        t = np.where(len2 > 0, (wx * ex + wy * ey) / np.where(len2 > 0, len2, 1.0), 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        rx, ry = wx - t * ex, wy - t * ey
+        d2 = rx * rx + ry * ry
+        order = np.lexsort((segs.seg_idx.to_numpy(), segs.line_id.to_numpy(), d2))
+        j = order[0]
+        if max_dist is not None and d2[j] > max_dist**2:
+            continue
+        out[p.point_id] = (
+            int(segs.line_id.iloc[j]),
+            int(segs.seg_idx.iloc[j]),
+            float(t[j]),
+            float(segs.cum0.iloc[j] + t[j] * np.sqrt(len2[j])),
+            float(np.sqrt(d2[j])),
+        )
+    return out
+
+
+def _mk_vertices(n_lines=7, n_vtx=6, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for li in range(n_lines):
+        x, y = rng.rand() * 0.5 - 122.5, rng.rand() * 0.4 + 37.7
+        for s in range(n_vtx):
+            rows.append((li, s * 10, x, y))  # seq has gaps on purpose
+            x += rng.rand() * 0.02 - 0.005
+            y += rng.rand() * 0.02 - 0.005
+    return pd.DataFrame(rows, columns=["line_id", "seq", "x", "y"])
+
+
+def _brute_segments(v: pd.DataFrame, kx=1.0, ky=1.0) -> pd.DataFrame:
+    rows = []
+    for li, g in v.groupby("line_id"):
+        g = g.sort_values("seq")
+        cum = 0.0
+        for i in range(len(g) - 1):
+            a, b = g.iloc[i], g.iloc[i + 1]
+            rows.append((li, i, a.x, a.y, b.x, b.y, cum))
+            cum += float(np.sqrt(((b.x - a.x) * kx) ** 2 + ((b.y - a.y) * ky) ** 2))
+    return pd.DataFrame(rows, columns=list(linear_ref.SEG_COLS))
+
+
+# ---------------------------------------------------------------------------
+# segments_from_vertices
+# ---------------------------------------------------------------------------
+
+
+def test_segments_from_vertices_matches_brute(spark):
+    v = _mk_vertices()
+    kx, ky = linear_ref.meters_scale(37.8)
+    got = (
+        linear_ref.segments_from_vertices(
+            spark.createDataFrame(v), x="x", y="y", kx=kx, ky=ky
+        )
+        .toPandas()
+        .sort_values(["line_id", "seg_idx"])
+        .reset_index(drop=True)
+    )
+    want = _brute_segments(v, kx, ky)
+    pd.testing.assert_frame_equal(got[list(linear_ref.SEG_COLS)], want, atol=1e-9, rtol=0)
+
+
+def test_single_vertex_line_yields_no_segments(spark):
+    v = pd.DataFrame({"line_id": [1], "seq": [0], "x": [0.0], "y": [0.0]})
+    assert linear_ref.segments_from_vertices(spark.createDataFrame(v), x="x", y="y").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# keyed locate-along
+# ---------------------------------------------------------------------------
+
+
+def test_locate_along_keyed_matches_brute(spark):
+    v = _mk_vertices()
+    segs = _brute_segments(v)
+    rng = np.random.RandomState(11)
+    n = 200
+    pts = pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64),
+            "line_id": rng.randint(0, 7, n),
+            "lon": rng.rand(n) * 0.6 - 122.55,
+            "lat": rng.rand(n) * 0.5 + 37.65,
+        }
+    )
+    out = linear_ref.locate_along_keyed(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(segs),
+        key="line_id",
+    ).toPandas()
+    assert len(out) == n
+    # brute per point, restricted to its own line
+    for _, row in out.iterrows():
+        mine = segs[segs.line_id == row.line_id].reset_index(drop=True)
+        ref = _brute_snap(pts[pts.point_id == row.point_id], mine)[row.point_id]
+        assert (row.seg_idx, round(row.t, 12)) == (ref[1], round(ref[2], 12))
+        assert row.along == pytest.approx(ref[3], abs=1e-12)
+        assert row.dist == pytest.approx(ref[4], abs=1e-12)
+
+
+def test_locate_along_endpoints_clamp(spark):
+    # one horizontal segment (0,0)->(1,0); points beyond both ends clamp
+    segs = pd.DataFrame([(0, 0, 0.0, 0.0, 1.0, 0.0, 0.0)], columns=list(linear_ref.SEG_COLS))
+    pts = pd.DataFrame(
+        {"point_id": [1, 2, 3], "line_id": [0, 0, 0], "lon": [-2.0, 0.25, 5.0], "lat": [1.0, 2.0, 1.0]}
+    )
+    out = (
+        linear_ref.locate_along_keyed(spark.createDataFrame(pts), spark.createDataFrame(segs), key="line_id")
+        .toPandas()
+        .set_index("point_id")
+    )
+    assert out.loc[1, "t"] == 0.0 and out.loc[1, "along"] == 0.0
+    assert out.loc[2, "t"] == 0.25 and out.loc[2, "along"] == pytest.approx(0.25)
+    assert out.loc[3, "t"] == 1.0 and out.loc[3, "along"] == 1.0
+    assert out.loc[1, "dist"] == pytest.approx(np.sqrt(4.0 + 1.0))
+
+
+def test_zero_length_segment_is_point_distance(spark):
+    segs = pd.DataFrame([(0, 0, 2.0, 3.0, 2.0, 3.0, 7.0)], columns=list(linear_ref.SEG_COLS))
+    pts = pd.DataFrame({"point_id": [1], "line_id": [0], "lon": [5.0], "lat": [7.0]})
+    out = linear_ref.locate_along_keyed(
+        spark.createDataFrame(pts), spark.createDataFrame(segs), key="line_id"
+    ).toPandas()
+    assert out.t[0] == 0.0 and out.along[0] == 7.0
+    assert out.dist[0] == pytest.approx(5.0)
+
+
+def test_tie_breaks_to_lowest_seg_idx(spark):
+    # two identical-distance segments; argmin must pick seg_idx 0
+    segs = pd.DataFrame(
+        [(0, 0, 0.0, 1.0, 1.0, 1.0, 0.0), (0, 1, 0.0, -1.0, 1.0, -1.0, 1.0)],
+        columns=list(linear_ref.SEG_COLS),
+    )
+    pts = pd.DataFrame({"point_id": [1], "line_id": [0], "lon": [0.5], "lat": [0.0]})
+    out = linear_ref.locate_along_keyed(
+        spark.createDataFrame(pts), spark.createDataFrame(segs), key="line_id"
+    ).toPandas()
+    assert out.seg_idx[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# unkeyed radius-bounded snap
+# ---------------------------------------------------------------------------
+
+
+def test_snap_points_matches_brute(spark):
+    v = _mk_vertices(n_lines=5, n_vtx=8, seed=9)
+    segs = _brute_segments(v)
+    rng = np.random.RandomState(4)
+    n = 300
+    pts = pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64),
+            "lon": rng.rand(n) * 0.7 - 122.6,
+            "lat": rng.rand(n) * 0.6 + 37.6,
+        }
+    )
+    max_dist = 0.05
+    out = (
+        linear_ref.snap_points_to_segments(
+            spark.createDataFrame(pts), spark.createDataFrame(segs), max_dist=max_dist, res=12
+        )
+        .toPandas()
+        .set_index("point_id")
+    )
+    ref = _brute_snap(pts, segs, max_dist=max_dist)
+    assert set(out.index) == set(ref)
+    for pid, (li, si, t, along, dist) in ref.items():
+        row = out.loc[pid]
+        assert (row.line_id, row.seg_idx) == (li, si)
+        assert row.t == pytest.approx(t, abs=1e-12)
+        assert row.along == pytest.approx(along, abs=1e-12)
+        assert row.dist == pytest.approx(dist, abs=1e-12)
+        assert row.dist <= max_dist
+
+
+def test_snap_excludes_far_points(spark):
+    segs = pd.DataFrame([(0, 0, 0.0, 0.0, 1.0, 0.0, 0.0)], columns=list(linear_ref.SEG_COLS))
+    pts = pd.DataFrame({"point_id": [1, 2], "lon": [0.5, 0.5], "lat": [0.005, 3.0]})
+    out = linear_ref.snap_points_to_segments(
+        spark.createDataFrame(pts), spark.createDataFrame(segs), max_dist=0.01, res=10
+    ).toPandas()
+    assert list(out.point_id) == [1]
+
+
+def test_snap_scaled_metric_changes_winner(spark):
+    """With anisotropic kx≫ky the vertical neighbor must win even
+    though the horizontal one is closer in raw degrees — proves the
+    metric is applied inside the argmin, not post-hoc."""
+    segs = pd.DataFrame(
+        [(0, 0, 0.02, 0.0, 0.03, 0.0, 0.0),  # east, 0.02 deg away in lon
+         (1, 0, 0.0, 0.03, 0.0, 0.04, 0.0)],  # north, 0.03 deg away in lat
+        columns=list(linear_ref.SEG_COLS),
+    )
+    pts = pd.DataFrame({"point_id": [1], "lon": [0.0], "lat": [0.0]})
+    deg = linear_ref.snap_points_to_segments(
+        spark.createDataFrame(pts), spark.createDataFrame(segs), max_dist=0.05, res=8
+    ).toPandas()
+    assert deg.line_id[0] == 0
+    kx, ky = 3.0, 1.0  # lon distances now cost 3x
+    scaled = linear_ref.snap_points_to_segments(
+        spark.createDataFrame(pts), spark.createDataFrame(segs),
+        max_dist=0.12, res=8, kx=kx, ky=ky,
+    ).toPandas()
+    assert scaled.line_id[0] == 1
+    assert scaled.dist[0] == pytest.approx(0.03)  # ky*0.03
+
+
+# ---------------------------------------------------------------------------
+# rasterization
+# ---------------------------------------------------------------------------
+
+
+def test_rasterize_counts_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    n = 5000
+    pts = pd.DataFrame({"lon": rng.rand(n) * 0.2 - 122.5, "lat": rng.rand(n) * 0.2 + 37.7})
+    tile_res, px_bits = 10, 4
+    out = raster.rasterize_counts(spark.createDataFrame(pts), tile_res, px_bits).toPandas()
+    # numpy mirror
+    fine = tile_res + px_bits
+    nn = 1 << fine
+    mask = (1 << px_bits) - 1
+    x = np.clip(np.floor((pts.lon.to_numpy() + 180.0) / 360.0 * nn), 0, nn - 1).astype(np.int64)
+    y = np.clip(np.floor((pts.lat.to_numpy() + 90.0) / 180.0 * nn), 0, nn - 1).astype(np.int64)
+    tile = (np.int64(tile_res) << 58) + (x >> px_bits << 29) + (y >> px_bits)
+    want = (
+        pd.DataFrame({"tile": tile, "px_x": x & mask, "px_y": mask - (y & mask)})
+        .groupby(["tile", "px_x", "px_y"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    got = out.sort_values(["tile", "px_x", "px_y"]).reset_index(drop=True)
+    want = want.sort_values(["tile", "px_x", "px_y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(out.n.sum()) == n
+
+
+def test_density_tiles_roundtrip(spark):
+    """decode(encode) recovers the clipped count grid exactly, in the
+    north-up orientation."""
+    # two points in one known tile: one pixel once, one pixel 300 times
+    tile_res, px_bits = 8, 2
+    pts = pd.DataFrame(
+        {"lon": [10.0] * 300 + [10.7], "lat": [45.0] * 300 + [45.6]}
+    )
+    counts = raster.rasterize_counts(spark.createDataFrame(pts), tile_res, px_bits)
+    tiles = raster.density_tiles(counts, px_bits).toPandas()
+    assert len(tiles) == 1
+    img = images.decode(bytes(tiles.image[0]), "png")
+    assert img.shape == (4, 4, 3)
+    assert tiles.n_points[0] == 301 and tiles.max_count[0] == 300
+    cp = counts.toPandas()
+    grid = np.zeros((4, 4), dtype=np.int64)
+    grid[cp.px_y.to_numpy(), cp.px_x.to_numpy()] = cp.n.to_numpy()
+    assert np.array_equal(img[:, :, 0], np.minimum(grid, 255).astype(np.uint8))
+    assert np.array_equal(img[:, :, 0], img[:, :, 1])
+    # the 45.6-lat point sits NORTH of the 45.0 one -> smaller py (row)
+    py300 = cp[cp.n == 300].px_y.iloc[0]
+    py1 = cp[cp.n == 1].px_y.iloc[0]
+    assert py1 < py300
+
+
+def test_rasterize_sql_mirror_matches(spark):
+    import duckdb
+
+    rng = np.random.RandomState(13)
+    pts = pd.DataFrame({"lon": rng.rand(400) * 360 - 180, "lat": rng.rand(400) * 180 - 90})
+    got = (
+        raster.rasterize_counts(spark.createDataFrame(pts), 9, 3)
+        .toPandas()
+        .sort_values(["tile", "px_x", "px_y"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("pts", pts)
+    want = con.execute(
+        f"SELECT tile, px_x, px_y, count(*) AS n FROM ("
+        f"SELECT {raster.rasterize_sql('lat', 'lon', 9, 3)} FROM pts) "
+        f"GROUP BY 1,2,3 ORDER BY 1,2,3"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# transit wrapper: shape_dist_traveled
+# ---------------------------------------------------------------------------
+
+
+def test_vertices_locate_to_their_own_dist(spark, feed, feed_pd):
+    """A shape's own vertices snap to that shape at dist 0 with
+    along == the feed's shape_dist_traveled column (synth computes the
+    same cumulative metric, synth.py:139)."""
+    from gtfs_to_geojson_spark.operators import linear_ref
+
+    sh = feed_pd["shapes"]
+    verts_df = spark.createDataFrame(sh).select(
+        F.col("shape_id").alias("line_id"),
+        F.col("shape_pt_sequence").alias("seq"),
+        F.col("shape_pt_lon").alias("x"),
+        F.col("shape_pt_lat").alias("y"),
+    )
+    segs = linear_ref.segments_from_vertices(verts_df, x="x", y="y")
+    pts = spark.createDataFrame(sh).select(
+        F.concat_ws("|", "shape_id", F.col("shape_pt_sequence").cast("string")).alias("point_id"),
+        F.col("shape_id").alias("line_key"),
+        F.col("shape_pt_lon").alias("lon"),
+        F.col("shape_pt_lat").alias("lat"),
+    )
+    out = linear_ref.locate_along_keyed(pts, segs, key="line_key").toPandas()
+    assert len(out) == len(sh)
+    want = {
+        f"{r.shape_id}|{r.shape_pt_sequence}": r.shape_dist_traveled
+        for r in sh.itertuples()
+    }
+    for r in out.itertuples():
+        assert r.dist == pytest.approx(0.0, abs=1e-12)
+        assert r.along == pytest.approx(want[r.point_id], abs=1e-9)
+
+
+def test_stop_shape_dist_traveled_wrapper(spark, feed):
+    from gtfs_to_geojson_spark.operators import transit_spatial
+
+    out = transit_spatial.stop_shape_dist_traveled(feed).toPandas()
+    st = feed["stop_times"].join(
+        feed["trips"].select("trip_id", "shape_id"), "trip_id"
+    )
+    with_shape = st.join(
+        feed["shapes"].select("shape_id").distinct(), "shape_id"
+    ).count()
+    assert len(out) == with_shape and with_shape > 0
+    assert {"shape_dist_traveled", "snap_dist", "stop_sequence"} <= set(out.columns)
+    max_len = (
+        feed["shapes"].groupBy("shape_id").count().toPandas()["count"].max()
+    )
+    assert (out.shape_dist_traveled >= 0).all()
+    assert (out.snap_dist >= 0).all()
