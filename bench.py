@@ -400,6 +400,7 @@ def main():
         # overlapping exactly its 4 in-range neighbors; the count is
         # asserted against the exact closed form (2A−1)² every run, so
         # this row is a correctness gate as well as a timing.
+        from gtfs_to_geojson_spark.operators import linear_ref as LR
         from gtfs_to_geojson_spark.operators import overlap as OV
 
         j10_a = 1000
@@ -435,6 +436,60 @@ def main():
             return n
 
         run("j10_box_lattice_1m", j10_overlay, best_of=reps)
+
+        # J14 nearest-segment snap: 1M lattice segments × 4M points,
+        # every point provably snaps to its OWN segment (closed form
+        # asserted every run; tools/linear_ref_scale_bench.py is the
+        # 100M-point twin with the dist/along value checks)
+        j14_a, j14_p = 1000, 4
+
+        def snap_lattice_cache() -> tuple[str, str]:
+            sp = f"/tmp/spark_graft_bench_snapseg_{j14_a}.parquet"
+            pp = f"/tmp/spark_graft_bench_snappts_{j14_a}_{j14_p}.parquet"
+            step, seg_len = 0.001, 0.0006
+            if not os.path.exists(sp):
+                sid = F.col("id")
+                r, c = (sid / j14_a).cast("long"), sid % j14_a
+                spark.range(j14_a * j14_a).select(
+                    sid.alias("line_id"),
+                    F.lit(0).cast("long").alias("seg_idx"),
+                    (F.lit(-60.0) + c * step).alias("ax"),
+                    (F.lit(10.0) + r * step).alias("ay"),
+                    (F.lit(-60.0) + c * step + F.lit(seg_len)).alias("bx"),
+                    (F.lit(10.0) + r * step).alias("by"),
+                    F.lit(0.0).alias("cum0"),
+                ).repartition(64).write.mode("overwrite").parquet(sp)
+            if not os.path.exists(pp):
+                pid = F.col("id")
+                own = (pid / j14_p).cast("long")
+                p = (pid % j14_p).cast("double")
+                pr, pc = (own / j14_a).cast("long"), own % j14_a
+                spark.range(j14_a * j14_a * j14_p).select(
+                    pid.alias("point_id"),
+                    (F.lit(-60.0) + pc * step
+                     + F.lit(seg_len) * (p + 1) / F.lit(float(j14_p + 1))).alias("lon"),
+                    (F.lit(10.0) + pr * step
+                     + (p + 1) * F.lit(step / (4.0 * j14_p))).alias("lat"),
+                ).repartition(64).write.mode("overwrite").parquet(pp)
+            return sp, pp
+
+        j14_sp, j14_pp = snap_lattice_cache()
+
+        def j14_snap():
+            snapped = LR.snap_points_to_segments(
+                spark.read.parquet(j14_pp), spark.read.parquet(j14_sp),
+                max_dist=0.001 / 3.0, res=18,
+            )
+            own = (F.col("point_id") / j14_p).cast("long")
+            agg = snapped.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum((F.col("line_id") == own).cast("long")).alias("own"),
+            ).collect()[0]
+            n_want = j14_a * j14_a * j14_p
+            assert agg["rows"] == n_want and agg["own"] == n_want, f"snap closed form: {agg}"
+            return agg["rows"]
+
+        run("j14_snap_lattice_4m", j14_snap, best_of=reps)
 
         run("j1_multiway_join", lambda: OQ.j1_multiway_join(spark, sf_dir).count(), best_of=reps)
         run(

@@ -59,6 +59,14 @@ line id: fine for line tables (a shape is thousands of vertices, and
 the LINES side of a snap is the dimension side); a single line with
 10^9 vertices would need operators/scan.py's grouped prefix scan
 instead — documented, not silently slow.
+
+Grid-edge note: cover indices clamp at the grid edge via the same
+monotone ``xy_col`` both sides (a point's cell always stays inside a
+nearby segment's padded cover — same argument as operators/overlap.py),
+but like the overlay joins this path does NOT wrap the antimeridian: a
+point and segment within ``max_dist`` across lon ±180° will not meet.
+The kNN ring paths (operators/spatial.py) wrap; use those semantics as
+the template if a dataset ever straddles ±180°.
 """
 
 from __future__ import annotations
@@ -168,6 +176,7 @@ def snap_points_to_segments(
     point_id: str = "point_id",
     kx: float = 1.0,
     ky: float = 1.0,
+    shuffle_hash: bool = True,
 ) -> DataFrame:
     """Radius-bounded nearest-segment snap (unkeyed). Points carry
     (point_id, lon, lat); segments carry SEG_COLS (build them with
@@ -176,8 +185,19 @@ def snap_points_to_segments(
     default 1.0). Points with no segment within ``max_dist`` are
     dropped (the caller left-joins back if it needs misses — at
     10^12 rows an explicit miss row per unmatched point is usually
-    waste). Size ``res`` so a cell is about ``max_dist`` wide — the
-    pad then adds ~1 cell per side to each segment's cover.
+    waste). Size ``res`` so a cell is about TWICE ``max_dist`` wide —
+    the measured knee (tools/linear_ref_scale_bench.py res sweep at
+    40M points: cell≈2r is 2-3× faster than cell≈r or cell≈4r):
+    coarser cells blow up the per-cell candidate cross, finer cells
+    blow up the padded-bbox cover explode.
+
+    ``shuffle_hash=True`` (default) hints the exploded segment side
+    into a shuffled hash join (no sort of either stream — same
+    measured win as operators/overlap.py). The per-partition build
+    must fit execution memory: at N concurrent tasks each build gets
+    ~heap·0.6/N, so size shuffle partitions ≥ exploded_rows·56B·N/that
+    (a 40M-row explode at 32 local threads wants ≥256 partitions).
+    Pass False for sort-merge's graceful sort-spill when it can't.
     """
     pad_x = float(max_dist) / float(kx)
     pad_y = float(max_dist) / float(ky)
@@ -205,7 +225,7 @@ def snap_points_to_segments(
     pts = points.select(
         F.col(point_id).alias("point_id"), "lon", "lat"
     ).withColumn("_cell", cells.cell_col(F.col("lat"), F.col("lon"), res))
-    cand = pts.join(seg.hint("shuffle_hash"), "_cell").drop("_cell")
+    cand = pts.join(seg.hint("shuffle_hash") if shuffle_hash else seg, "_cell").drop("_cell")
     r = _residual_cols(kx, ky)
     cand = cand.withColumns(r).filter(F.col("_dist2") <= F.lit(float(max_dist) ** 2))
     return _argmin_nearest(cand, ["point_id", "lon", "lat"]).drop("lon", "lat")

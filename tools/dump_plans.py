@@ -82,6 +82,14 @@ def main():
         # HashAggregate (dedup is the canonical-cell codegen filter,
         # not a distinct), exactly the one cell equi-join exchange pair
         "j10_box_join": OQ.j10_box_join(spark, sf_dir),
+        # r4 session 8: linear referencing — the whole snap (cover
+        # explode, projection residual, struct-min argmin) must be 0
+        # Python with a map-side partial aggregate before the shuffle
+        "j14_snap_nearest_segment": OQ.j14_snap_nearest_segment(spark, sf_dir),
+        "g14_locate_along": OQ.g14_locate_along(spark, sf_dir),
+        # r4 session 8: rasterization — one partial-agg groupBy over a
+        # pure-codegen (tile, px) stamp, 0 Python, 1 exchange
+        "r1_rasterize_density": OQ.r1_rasterize_density(spark, sf_dir),
     }
 
     from gtfs_to_geojson_spark.operators import relational
