@@ -87,6 +87,120 @@ def rasterize_sql(lat_expr: str, lon_expr: str, tile_res: int, px_bits: int = 4)
     )
 
 
+def pyramid_counts(counts: DataFrame, tile_res: int, px_bits: int = 4) -> DataFrame:
+    """One pyramid level up: (tile, px_x, px_y, n) at ``tile_res`` →
+    the same raster at ``tile_res - 1``. A parent pixel covers a 2×2
+    block of child pixels, so the rollup is pure integer arithmetic on
+    the GLOBAL fine-grid coordinates (x_f = tile_x·2^b + px_x, halved)
+    plus ONE partially-aggregating sum — count-preserving by
+    construction (the driver oracle's GROUP BY re-derives it from the
+    same child table). Iterate for a full pyramid; each level's output
+    is 4× smaller, so a z0..z14 pyramid costs ~4/3 of one level.
+
+    The north-up pixel convention survives the halving: px_y stores
+    (mask − y_f&mask), so y_f is recovered, halved, and re-flipped —
+    pinned against rasterize_counts at the coarser res by pytest.
+    """
+    mask = (1 << px_bits) - 1
+    tile_x = F.shiftright(F.col("tile"), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    tile_y = F.col("tile").bitwiseAND(F.lit((1 << 29) - 1))
+    x_f = F.shiftleft(tile_x, px_bits) + F.col("px_x")
+    y_f = F.shiftleft(tile_y, px_bits) + (F.lit(mask) - F.col("px_y"))
+    xp, yp = F.shiftright(x_f, 1), F.shiftright(y_f, 1)
+    parent = (
+        F.lit(tile_res - 1).cast("long") * F.lit(1 << 58).cast("long")
+        + F.shiftright(xp, px_bits) * F.lit(1 << 29).cast("long")
+        + F.shiftright(yp, px_bits)
+    )
+    return (
+        counts.select(
+            parent.alias("tile"),
+            xp.bitwiseAND(F.lit(mask)).alias("px_x"),
+            (F.lit(mask) - yp.bitwiseAND(F.lit(mask))).alias("px_y"),
+            "n",
+        )
+        .groupBy("tile", "px_x", "px_y")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def pyramid_sql(tile_res: int, px_bits: int = 4) -> str:
+    """ANSI-SQL mirror of :func:`pyramid_counts`'s index arithmetic
+    over a child table with columns (tile, px_x, px_y, n)."""
+    mask = (1 << px_bits) - 1
+    tx = f"((tile // {1 << 29}) % {1 << 29})"
+    ty = f"(tile % {1 << 29})"
+    xf = f"({tx} * {1 << px_bits} + px_x)"
+    yf = f"({ty} * {1 << px_bits} + ({mask} - px_y))"
+    xp, yp = f"({xf} // 2)", f"({yf} // 2)"
+    parent = (
+        f"(CAST({tile_res - 1} AS BIGINT) * {1 << 58} "
+        f"+ ({xp} // {1 << px_bits}) * {1 << 29} + ({yp} // {1 << px_bits}))"
+    )
+    return (
+        f"{parent} AS tile, ({xp} % {1 << px_bits}) AS px_x, "
+        f"({mask} - ({yp} % {1 << px_bits})) AS px_y"
+    )
+
+
+def pyramid_tiles(tiles: DataFrame, px_bits: int = 4, fmt: str = "png") -> DataFrame:
+    """One IMAGE pyramid level up: rendered (tile, image) rows at some
+    tile_res → parent tiles at tile_res − 1. Each parent decodes its
+    ≤4 children, mosaics them into a 2·side × 2·side quadrant grid
+    (absent children are black), and downsamples 2×2 blocks by floor
+    mean — deterministic integer math, decode/encode via the repo
+    codec only. Grouping is by parent tile id (pure bit arithmetic),
+    so a level is ONE shuffle of the already-raster-bounded tile set.
+    """
+    side = 1 << px_bits
+    mask = (1 << px_bits) - 1
+
+    tile_x = F.shiftright(F.col("tile"), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    tile_y = F.col("tile").bitwiseAND(F.lit((1 << 29) - 1))
+    tres = F.shiftright(F.col("tile"), 58)
+    parent = (
+        (tres - F.lit(1)).cast("long") * F.lit(1 << 58).cast("long")
+        + F.shiftright(tile_x, 1) * F.lit(1 << 29).cast("long")
+        + F.shiftright(tile_y, 1)
+    )
+    # child quadrant inside the parent: qx = tile_x & 1 (west/east),
+    # qy = tile_y & 1 (south/north; row 0 of the mosaic is NORTH)
+    kids = tiles.select(
+        parent.alias("tile"),
+        tile_x.bitwiseAND(F.lit(1)).cast("int").alias("_qx"),
+        tile_y.bitwiseAND(F.lit(1)).cast("int").alias("_qy"),
+        "image",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("tile", T.LongType()),
+            T.StructField("image", T.BinaryType()),
+            T.StructField("n_children", T.IntegerType()),
+        ]
+    )
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        mosaic = np.zeros((2 * side, 2 * side, 3), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            img = images.decode(bytes(row["image"]), fmt)
+            r0 = (1 - row["_qy"]) * side  # north (qy=1) is the top rows
+            c0 = row["_qx"] * side
+            mosaic[r0 : r0 + side, c0 : c0 + side] = img
+        m = mosaic.astype(np.uint32)
+        down = (
+            m[0::2, 0::2] + m[0::2, 1::2] + m[1::2, 0::2] + m[1::2, 1::2]
+        ) // 4
+        return pd.DataFrame(
+            {
+                "tile": [key[0]],
+                "image": [images.encode(down.astype(np.uint8), fmt)],
+                "n_children": [len(pdf)],
+            }
+        )
+
+    return kids.groupBy("tile").applyInPandas(merge, schema)
+
+
 def density_tiles(
     counts: DataFrame, px_bits: int = 4, fmt: str = "png"
 ) -> DataFrame:

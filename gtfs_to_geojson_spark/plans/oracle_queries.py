@@ -1887,6 +1887,12 @@ _DRIVER_TAIL = [
     "sample_stratified",
     "j7_point_in_polygon",
     "minhash_lsh_pairs",
+    # r4 eighteenth addition: rest j9_tile_assign (thrice-green; the
+    # tile-stamp family keeps r1_rasterize_density + r2_raster_pyramid
+    # — the same cell_col arithmetic — in-window, and the headline
+    # bench asserts j9's row count every run) so the new
+    # r2_raster_pyramid gets its driver row in CORRECTNESS_r04
+    "j9_tile_assign",
 ]
 
 
@@ -3822,3 +3828,44 @@ def r1_rasterize_density(spark, sf_dir):
     key = F.col("l_orderkey") * 6 + F.col("l_linenumber")
     pts = li.select(lon_col(key).alias("lon"), lat_col(key).alias("lat"))
     return raster.rasterize_counts(pts, TILE_RES, 4)
+
+
+# ---- R2: raster pyramid rollup — the r1 density raster one zoom
+# level up. A parent pixel is a 2×2 block of child pixels, so the
+# rollup is integer halving on global fine-grid coords + ONE sum;
+# the oracle re-derives the identical arithmetic over the same child
+# subquery (raster.pyramid_sql). The IMAGE-level pyramid twin
+# (pyramid_tiles: decode → quadrant mosaic → 2×2 floor-mean) is
+# pytest-pinned — DuckDB has no codec ----
+@q(
+    "r2_raster_pyramid",
+    f"""
+SELECT tile, px_x, px_y, sum(n) AS n
+FROM (
+  SELECT {raster.pyramid_sql(TILE_RES, 4)}, n
+  FROM (
+    SELECT tile, px_x, px_y, count(*) AS n
+    FROM (
+      SELECT {raster.rasterize_sql(lat_sql('(l_orderkey * 6 + l_linenumber)'),
+                                   lon_sql('(l_orderkey * 6 + l_linenumber)'),
+                                   TILE_RES, 4)}
+      FROM lineitem
+    )
+    GROUP BY 1, 2, 3
+  )
+)
+GROUP BY 1, 2, 3
+""",
+)
+def r2_raster_pyramid(spark, sf_dir):
+    """R2 — tile-pyramid rollup (operators/raster.py pyramid_counts):
+    z→z−1 in one partial-aggregating shuffle, count-preserving by
+    construction; pyramid_counts(rasterize(res)) ==
+    rasterize(res−1) is pinned exactly in tests/test_linear_raster.py,
+    and the rendered-image pyramid (pyramid_tiles) is pinned against
+    an independent numpy mosaic+downsample build."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 6 + F.col("l_linenumber")
+    pts = li.select(lon_col(key).alias("lon"), lat_col(key).alias("lat"))
+    child = raster.rasterize_counts(pts, TILE_RES, 4)
+    return raster.pyramid_counts(child, TILE_RES, 4)

@@ -365,3 +365,93 @@ def test_stop_shape_dist_traveled_wrapper(spark, feed):
     )
     assert (out.shape_dist_traveled >= 0).all()
     assert (out.snap_dist >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# raster pyramid
+# ---------------------------------------------------------------------------
+
+
+def test_pyramid_counts_equals_direct_rasterize(spark):
+    """Rolling child counts one level up must equal rasterizing the
+    SAME points directly at tile_res-1 — pins the halving arithmetic
+    (incl. the floor-nesting identity and the north-up flip)."""
+    rng = np.random.RandomState(21)
+    pts = pd.DataFrame({"lon": rng.rand(3000) * 350 - 175, "lat": rng.rand(3000) * 170 - 85})
+    df = spark.createDataFrame(pts)
+    child = raster.rasterize_counts(df, 9, 3)
+    up = (
+        raster.pyramid_counts(child, 9, 3)
+        .toPandas()
+        .sort_values(["tile", "px_x", "px_y"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        raster.rasterize_counts(df, 8, 3)
+        .toPandas()
+        .sort_values(["tile", "px_x", "px_y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(up, direct, check_dtype=False)
+
+
+def test_pyramid_sql_mirror_matches(spark):
+    import duckdb
+
+    rng = np.random.RandomState(22)
+    pts = pd.DataFrame({"lon": rng.rand(500) * 360 - 180, "lat": rng.rand(500) * 180 - 90})
+    child_pd = raster.rasterize_counts(spark.createDataFrame(pts), 9, 3).toPandas()
+    got = (
+        raster.pyramid_counts(
+            spark.createDataFrame(child_pd), 9, 3
+        )
+        .toPandas()
+        .sort_values(["tile", "px_x", "px_y"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("child", child_pd)
+    want = con.execute(
+        f"SELECT tile, px_x, px_y, sum(n) AS n FROM ("
+        f"SELECT {raster.pyramid_sql(9, 3)}, n FROM child) "
+        f"GROUP BY 1,2,3 ORDER BY 1,2,3"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pyramid_tiles_matches_numpy(spark):
+    """Image-level pyramid: decode children, mosaic quadrants
+    (north-up), 2x2 floor-mean — against an independent numpy build,
+    including a parent with a missing (black) quadrant."""
+    tile_res, px_bits = 8, 2
+    side = 1 << px_bits
+    # points in two sibling child tiles (same parent) + one lone tile
+    pts = pd.DataFrame(
+        {
+            "lon": [10.05] * 7 + [9.0] * 300 + [-120.0] * 5,
+            "lat": [45.05] * 7 + [45.05] * 300 + [-30.0] * 5,
+        }
+    )
+    counts = raster.rasterize_counts(spark.createDataFrame(pts), tile_res, px_bits)
+    tiles = raster.density_tiles(counts, px_bits)
+    up = raster.pyramid_tiles(tiles, px_bits).toPandas()
+    # numpy reference from the child images themselves
+    child = tiles.toPandas()
+    mask29 = (1 << 29) - 1
+    ref = {}
+    for row in child.itertuples():
+        tx, ty = (row.tile >> 29) & mask29, row.tile & mask29
+        tr = row.tile >> 58
+        parent = ((tr - 1) << 58) + ((tx >> 1) << 29) + (ty >> 1)
+        mosaic = ref.setdefault(parent, np.zeros((2 * side, 2 * side, 3), np.uint32))
+        img = images.decode(bytes(row.image), "png")
+        r0, c0 = (1 - (ty & 1)) * side, (tx & 1) * side
+        mosaic[r0 : r0 + side, c0 : c0 + side] = img
+    assert set(up.tile) == set(ref)
+    for row in up.itertuples():
+        m = ref[row.tile]
+        want = ((m[0::2, 0::2] + m[0::2, 1::2] + m[1::2, 0::2] + m[1::2, 1::2]) // 4).astype(np.uint8)
+        got = images.decode(bytes(row.image), "png")
+        assert np.array_equal(got, want)
+    # the two sibling tiles share a parent; the lone tile's parent has 1 child
+    assert sorted(up.n_children) == [1, 2]

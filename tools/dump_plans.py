@@ -90,6 +90,9 @@ def main():
         # r4 session 8: rasterization — one partial-agg groupBy over a
         # pure-codegen (tile, px) stamp, 0 Python, 1 exchange
         "r1_rasterize_density": OQ.r1_rasterize_density(spark, sf_dir),
+        # r4 session 8: pyramid rollup — the z-1 level adds one more
+        # partial-agg exchange on the raster-bounded frame, 0 Python
+        "r2_raster_pyramid": OQ.r2_raster_pyramid(spark, sf_dir),
     }
 
     from gtfs_to_geojson_spark.operators import relational
