@@ -274,6 +274,80 @@ def locate_along_keyed(
     )
 
 
+def position_along_keyed(
+    measures: DataFrame,
+    segments: DataFrame,
+    key: str = "line_id",
+    measure_id: str = "measure_id",
+    along: str = "along",
+    kx: float = 1.0,
+    ky: float = 1.0,
+) -> DataFrame:
+    """Inverse linear referencing: (measure_id, line key, along) rows →
+    the (lon, lat) point that far along the line — the other half of
+    :func:`locate_along_keyed` (GTFS: interpolate a vehicle position
+    from schedule progress; the reference stores shape_dist_traveled
+    but never inverts it either).
+
+    The covering segment is the one with the LARGEST cum0 ≤ along
+    (ties impossible: cum0 is strictly increasing except across
+    zero-length segments, where seg_idx breaks the tie toward the
+    earliest — matching the forward op's tie rule). along < 0 clamps
+    to the line start, along ≥ total length to the line end, exactly
+    like the forward op clamps t. Same shapes as the forward op: one
+    hash equi-join on the key, one map-side-combinable min(struct)
+    argmin, pure-Column interpolation — 0 Python, and the SQL mirror
+    (g15_position_along) is expression-order identical.
+    """
+    m = measures.select(
+        F.col(measure_id).alias("measure_id"),
+        F.col(key).alias("line_id"),
+        F.col(along).cast("double").alias("_along"),
+    )
+    cand = m.join(segments.select(*SEG_COLS), "line_id")
+    # ordering key: prefer covering segments (cum0 <= along), among
+    # them the largest cum0; if none cover (along < 0), the smallest
+    not_cover = (F.col("cum0") > F.col("_along")).cast("int")
+    cum_rank = F.when(
+        F.col("cum0") <= F.col("_along"), -F.col("cum0")
+    ).otherwise(F.col("cum0"))
+    best = F.min(
+        F.struct(
+            not_cover.alias("nc"),
+            cum_rank.alias("ck"),
+            F.col("seg_idx").alias("seg_idx"),
+            F.col("ax").alias("ax"),
+            F.col("ay").alias("ay"),
+            F.col("bx").alias("bx"),
+            F.col("by").alias("by"),
+            F.col("cum0").alias("cum0"),
+        )
+    ).alias("_best")
+    out = cand.groupBy("measure_id", "line_id", "_along").agg(best)
+    ex = (F.col("_best.bx") - F.col("_best.ax")) * F.lit(float(kx))
+    ey = (F.col("_best.by") - F.col("_best.ay")) * F.lit(float(ky))
+    seg_len = F.sqrt(ex * ex + ey * ey)
+    t = F.least(
+        F.greatest(
+            F.when(
+                seg_len > F.lit(0.0),
+                (F.col("_along") - F.col("_best.cum0")) / seg_len,
+            ).otherwise(F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    return out.select(
+        "measure_id",
+        "line_id",
+        F.col("_along").alias("along"),
+        F.col("_best.seg_idx").alias("seg_idx"),
+        t.alias("t"),
+        (F.col("_best.ax") + t * (F.col("_best.bx") - F.col("_best.ax"))).alias("lon"),
+        (F.col("_best.ay") + t * (F.col("_best.by") - F.col("_best.ay"))).alias("lat"),
+    )
+
+
 # meters-per-degree constants for the equirectangular local metric.
 # 111320 ≈ one degree of longitude at the equator on the WGS84 sphere;
 # callers scale it by cos(reference latitude) for kx.

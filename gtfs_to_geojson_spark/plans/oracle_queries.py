@@ -1893,6 +1893,12 @@ _DRIVER_TAIL = [
     # bench asserts j9's row count every run) so the new
     # r2_raster_pyramid gets its driver row in CORRECTNESS_r04
     "j9_tile_assign",
+    # r4 nineteenth addition: rest t1_interval_join (thrice-green; the
+    # temporal family keeps s11_session_window in-window and bench.py
+    # runs the identical interval_point_join operator every round) so
+    # the new g15_position_along (inverse linear referencing) gets its
+    # driver row in CORRECTNESS_r04
+    "t1_interval_join",
 ]
 
 
@@ -3869,3 +3875,90 @@ def r2_raster_pyramid(spark, sf_dir):
     pts = li.select(lon_col(key).alias("lon"), lat_col(key).alias("lat"))
     child = raster.rasterize_counts(pts, TILE_RES, 4)
     return raster.pyramid_counts(child, TILE_RES, 4)
+
+
+# ---- G15: inverse linear referencing — (line, along) → the point
+# that far along the polyline (the other half of g14; schedule →
+# position interpolation). Same nation%5 polylines; along values are
+# deterministic and deliberately include negatives (clamp to start)
+# and beyond-total (clamp to end). The oracle re-derives the covering
+# segment with the kernel's exact (not_cover, ±cum0, seg_idx) order ----
+@q(
+    "g15_position_along",
+    f"""
+WITH v AS (
+  SELECT s_nationkey % 5 AS line_id, s_suppkey AS seq,
+         {lon_sql('(s_suppkey * 37 + 11)')} AS x,
+         {lat_sql('(s_suppkey * 41 + 17)')} AS y
+  FROM supplier
+), seg0 AS (
+  SELECT line_id,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS seg_idx,
+         x AS ax, y AS ay,
+         lead(x) OVER w AS bx, lead(y) OVER w AS by
+  FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq)
+), seg AS (
+  SELECT line_id, seg_idx, ax, ay, bx, by,
+         coalesce(sum(sqrt((bx - ax) * 1.0 * ((bx - ax) * 1.0)
+                           + (by - ay) * 1.0 * ((by - ay) * 1.0)))
+                  OVER (PARTITION BY line_id ORDER BY seg_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0) AS cum0
+  FROM seg0 WHERE bx IS NOT NULL
+), m AS (
+  SELECT c_custkey, c_nationkey % 5 AS line_id,
+         CAST(c_custkey % 97 AS DOUBLE) * 0.003 - 0.01 AS along
+  FROM customer
+), pick AS (
+  SELECT c_custkey, line_id, along, seg_idx, ax, ay, bx, by, cum0,
+         row_number() OVER (
+           PARTITION BY c_custkey
+           ORDER BY CASE WHEN cum0 > along THEN 1 ELSE 0 END,
+                    CASE WHEN cum0 <= along THEN -cum0 ELSE cum0 END,
+                    seg_idx
+         ) AS rn
+  FROM m JOIN seg USING (line_id)
+)
+SELECT c_custkey AS custkey, line_id AS linekey, seg_idx,
+       round(ax + t * (bx - ax), 6) AS lon_r,
+       round(ay + t * (by - ay), 6) AS lat_r
+FROM (
+  SELECT c_custkey, line_id, seg_idx, ax, ay, bx, by,
+         least(greatest(CASE WHEN sqrt((bx - ax) * 1.0 * ((bx - ax) * 1.0)
+                                       + (by - ay) * 1.0 * ((by - ay) * 1.0)) > 0.0
+                             THEN (along - cum0)
+                                  / sqrt((bx - ax) * 1.0 * ((bx - ax) * 1.0)
+                                         + (by - ay) * 1.0 * ((by - ay) * 1.0))
+                             ELSE 0.0 END, 0.0), 1.0) AS t
+  FROM pick WHERE rn = 1
+)
+""",
+)
+def g15_position_along(spark, sf_dir):
+    """G15 — inverse linear referencing
+    (linear_ref.position_along_keyed): along → interpolated position,
+    covering-segment argmin via the same partial min(struct) shape as
+    the forward op; forward∘inverse roundtrip pinned in
+    tests/test_linear_raster.py."""
+    sup = _t(spark, sf_dir, "supplier")
+    verts = sup.select(
+        (F.col("s_nationkey") % 5).alias("line_id"),
+        F.col("s_suppkey").alias("seq"),
+        lon_col(F.col("s_suppkey") * 37 + 11).alias("x"),
+        lat_col(F.col("s_suppkey") * 41 + 17).alias("y"),
+    )
+    segs = linear_ref.segments_from_vertices(verts, x="x", y="y")
+    cust = _t(spark, sf_dir, "customer")
+    meas = cust.select(
+        F.col("c_custkey").alias("measure_id"),
+        (F.col("c_nationkey") % 5).alias("line_key"),
+        ((F.col("c_custkey") % 97).cast("double") * F.lit(0.003) - F.lit(0.01)).alias("along"),
+    )
+    out = linear_ref.position_along_keyed(meas, segs, key="line_key")
+    return out.select(
+        F.col("measure_id").alias("custkey"),
+        F.col("line_id").alias("linekey"),
+        "seg_idx",
+        F.round(F.col("lon"), 6).alias("lon_r"),
+        F.round(F.col("lat"), 6).alias("lat_r"),
+    )

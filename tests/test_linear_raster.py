@@ -455,3 +455,120 @@ def test_pyramid_tiles_matches_numpy(spark):
         assert np.array_equal(got, want)
     # the two sibling tiles share a parent; the lone tile's parent has 1 child
     assert sorted(up.n_children) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# inverse linear referencing
+# ---------------------------------------------------------------------------
+
+
+def _brute_position(measures: pd.DataFrame, segs: pd.DataFrame):
+    """Reference: covering segment = largest cum0 <= along (none ->
+    smallest cum0), tie to lowest seg_idx; clamp t to [0,1]."""
+    out = {}
+    for _, m in measures.iterrows():
+        mine = segs[segs.line_id == m.line_id]
+        cover = mine[mine.cum0 <= m.along]
+        if len(cover):
+            row = cover.sort_values(["cum0", "seg_idx"], ascending=[False, True]).iloc[0]
+        else:
+            row = mine.sort_values(["cum0", "seg_idx"]).iloc[0]
+        seg_len = float(np.hypot(row.bx - row.ax, row.by - row.ay))
+        t = 0.0 if seg_len == 0 else min(max((m.along - row.cum0) / seg_len, 0.0), 1.0)
+        out[m.measure_id] = (
+            int(row.seg_idx),
+            row.ax + t * (row.bx - row.ax),
+            row.ay + t * (row.by - row.ay),
+        )
+    return out
+
+
+def test_position_along_matches_brute(spark):
+    v = _mk_vertices()
+    segs = _brute_segments(v)
+    rng = np.random.RandomState(31)
+    n = 150
+    totals = segs.groupby("line_id").cum0.max()
+    meas = pd.DataFrame(
+        {
+            "measure_id": np.arange(n, dtype=np.int64),
+            "line_id": rng.randint(0, 7, n),
+            # spans negative, interior, and beyond-total measures
+            "along": rng.rand(n) * 0.2 - 0.05,
+        }
+    )
+    out = (
+        linear_ref.position_along_keyed(
+            spark.createDataFrame(meas), spark.createDataFrame(segs)
+        )
+        .toPandas()
+        .set_index("measure_id")
+    )
+    ref = _brute_position(meas, segs)
+    assert len(out) == n
+    for mid, (si, lon, lat) in ref.items():
+        row = out.loc[mid]
+        assert row.seg_idx == si
+        assert row.lon == pytest.approx(lon, abs=1e-12)
+        assert row.lat == pytest.approx(lat, abs=1e-12)
+
+
+def test_position_clamps_at_both_ends(spark):
+    segs = pd.DataFrame(
+        [(0, 0, 0.0, 0.0, 1.0, 0.0, 0.0), (0, 1, 1.0, 0.0, 1.0, 2.0, 1.0)],
+        columns=list(linear_ref.SEG_COLS),
+    )
+    meas = pd.DataFrame(
+        {"measure_id": [1, 2, 3, 4], "line_id": [0] * 4, "along": [-5.0, 0.5, 2.5, 99.0]}
+    )
+    out = (
+        linear_ref.position_along_keyed(
+            spark.createDataFrame(meas), spark.createDataFrame(segs)
+        )
+        .toPandas()
+        .set_index("measure_id")
+    )
+    assert (out.loc[1, "lon"], out.loc[1, "lat"]) == (0.0, 0.0)  # clamp start
+    assert (out.loc[2, "lon"], out.loc[2, "lat"]) == (0.5, 0.0)
+    assert (out.loc[3, "lon"], out.loc[3, "lat"]) == (1.0, 1.5)  # on 2nd seg
+    assert (out.loc[4, "lon"], out.loc[4, "lat"]) == (1.0, 2.0)  # clamp end
+
+
+def test_locate_position_roundtrip(spark):
+    """position(locate(p)) must land exactly on the snapped foot, and
+    locate(position(a)) must return the same along for interior a —
+    the bidirectional consistency of the pair."""
+    v = _mk_vertices(n_lines=4, n_vtx=7, seed=17)
+    segs_pd = _brute_segments(v)
+    segs = spark.createDataFrame(segs_pd)
+    rng = np.random.RandomState(18)
+    n = 80
+    pts = pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64),
+            "line_id": rng.randint(0, 4, n),
+            "lon": rng.rand(n) * 0.6 - 122.55,
+            "lat": rng.rand(n) * 0.5 + 37.65,
+        }
+    )
+    loc = linear_ref.locate_along_keyed(spark.createDataFrame(pts), segs, key="line_id")
+    meas = loc.select(
+        F.col("point_id").alias("measure_id"), "line_id", "along"
+    )
+    pos = linear_ref.position_along_keyed(meas, segs).toPandas().set_index("measure_id")
+    back = (
+        linear_ref.locate_along_keyed(
+            pos.reset_index()
+            .rename(columns={"measure_id": "point_id"})
+            .pipe(lambda d: spark.createDataFrame(d[["point_id", "line_id", "lon", "lat"]])),
+            segs,
+            key="line_id",
+        )
+        .toPandas()
+        .set_index("point_id")
+    )
+    fwd = loc.toPandas().set_index("point_id")
+    for pid in fwd.index:
+        # the foot of the snap re-locates to the same along & distance 0
+        assert back.loc[pid, "along"] == pytest.approx(fwd.loc[pid, "along"], abs=1e-9)
+        assert back.loc[pid, "dist"] == pytest.approx(0.0, abs=1e-9)

@@ -87,6 +87,7 @@ def main():
         # Python with a map-side partial aggregate before the shuffle
         "j14_snap_nearest_segment": OQ.j14_snap_nearest_segment(spark, sf_dir),
         "g14_locate_along": OQ.g14_locate_along(spark, sf_dir),
+        "g15_position_along": OQ.g15_position_along(spark, sf_dir),
         # r4 session 8: rasterization — one partial-agg groupBy over a
         # pure-codegen (tile, px) stamp, 0 Python, 1 exchange
         "r1_rasterize_density": OQ.r1_rasterize_density(spark, sf_dir),
