@@ -295,3 +295,60 @@ def run_envelope_stream_to_parquet(
     if timeout_s is not None:
         q.awaitTermination(timeout_s)
     return q
+
+
+POINT_SCHEMA = "point_id long, lon double, lat double"
+
+
+def stream_rasterize_counts(
+    spark: SparkSession,
+    input_dir: str,
+    tile_res: int = 14,
+    px_bits: int = 4,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Streaming R1: a live density raster over a point stream — the
+    identical ``rasterize_counts`` call as batch (the operator is pure
+    DataFrame composition, so the stamp + groupBy lift to Structured
+    Streaming unchanged). Unlike most unbounded streaming aggregations
+    this one needs NO watermark to stay bounded: the aggregation state
+    IS the raster, capped at occupied_tiles·(2^px_bits)² rows no
+    matter how many points flow through — the same raster-bounded
+    property the 1.07B-point batch row measures
+    (BENCH/ROBUSTNESS.md §Rasterization)."""
+    from ..operators.raster import rasterize_counts
+
+    pts = (
+        spark.readStream.schema(POINT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return rasterize_counts(pts.select("lon", "lat"), tile_res, px_bits)
+
+
+def run_rasterize_stream_to_memory(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_name: str,
+    tile_res: int = 14,
+    px_bits: int = 4,
+    timeout_s: float | None = None,
+):
+    """Complete-mode raster sink: every trigger re-emits the whole
+    (raster-bounded) count table, so a consumer always reads a
+    consistent full heat map; the checkpointed state store carries the
+    counts across restarts — a second invocation reads ONLY new point
+    drops yet still emits the cumulative raster."""
+    counts = stream_rasterize_counts(spark, input_dir, tile_res, px_bits)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout_s is not None:
+        q.awaitTermination(timeout_s)
+    return q

@@ -572,3 +572,67 @@ def test_locate_position_roundtrip(spark):
         # the foot of the snap re-locates to the same along & distance 0
         assert back.loc[pid, "along"] == pytest.approx(fwd.loc[pid, "along"], abs=1e-9)
         assert back.loc[pid, "dist"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# streaming rasterization
+# ---------------------------------------------------------------------------
+
+
+def test_stream_rasterize_parity_and_resume(spark, tmp_path):
+    """The streaming raster must equal the batch raster over the same
+    files, and a restart from the checkpoint must read ONLY new drops
+    yet emit the cumulative raster (the state store carries counts)."""
+    from gtfs_to_geojson_spark.streaming import stream_assign
+
+    in_dir, ckpt = str(tmp_path / "pts"), str(tmp_path / "ckpt")
+    rng = np.random.RandomState(41)
+
+    def drop(n, seed_off):
+        rng2 = np.random.RandomState(41 + seed_off)
+        pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(n, dtype=np.int64) + seed_off * 1000000,
+                "lon": rng2.rand(n) * 0.2 - 122.5,
+                "lat": rng2.rand(n) * 0.2 + 37.7,
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        return pdf
+
+    b1 = drop(4000, 1)
+    q = stream_assign.run_rasterize_stream_to_memory(
+        spark, in_dir, ckpt, "raster_t1", tile_res=10, px_bits=4, timeout_s=120
+    )
+    q.awaitTermination(120)
+    got1 = (
+        spark.table("raster_t1").toPandas().sort_values(["tile", "px_x", "px_y"]).reset_index(drop=True)
+    )
+    want1 = (
+        raster.rasterize_counts(spark.createDataFrame(b1), 10, 4)
+        .toPandas()
+        .sort_values(["tile", "px_x", "px_y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got1, want1, check_dtype=False)
+
+    b2 = drop(3000, 2)
+    q2 = stream_assign.run_rasterize_stream_to_memory(
+        spark, in_dir, ckpt, "raster_t2", tile_res=10, px_bits=4, timeout_s=120
+    )
+    q2.awaitTermination(120)
+    got2 = (
+        spark.table("raster_t2").toPandas().sort_values(["tile", "px_x", "px_y"]).reset_index(drop=True)
+    )
+    want2 = (
+        raster.rasterize_counts(spark.createDataFrame(pd.concat([b1, b2])), 10, 4)
+        .toPandas()
+        .sort_values(["tile", "px_x", "px_y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+    # resume really did skip batch-1 files: the second run's progress
+    # shows fewer input rows than the cumulative total it emitted
+    assert int(got2.n.sum()) == 7000
+    last = q2.lastProgress
+    assert last is None or last["numInputRows"] <= 3000
