@@ -199,6 +199,11 @@ def snap_points_to_segments(
     (a 40M-row explode at 32 local threads wants ≥256 partitions).
     Pass False for sort-merge's graceful sort-spill when it can't.
     """
+    if not 0 <= res <= cells.MAX_RES:
+        # past MAX_RES the x*2^29+y packing overflows into neighboring
+        # bit fields and cell ids silently collide — fail loudly like
+        # rasterize_counts and cells.encode do (ADVICE r4)
+        raise ValueError(f"res must be in [0, {cells.MAX_RES}], got {res}")
     pad_x = float(max_dist) / float(kx)
     pad_y = float(max_dist) / float(ky)
     seg = segments.select(*SEG_COLS).withColumns(
@@ -289,10 +294,13 @@ def position_along_keyed(
     from schedule progress; the reference stores shape_dist_traveled
     but never inverts it either).
 
-    The covering segment is the one with the LARGEST cum0 ≤ along
-    (ties impossible: cum0 is strictly increasing except across
-    zero-length segments, where seg_idx breaks the tie toward the
-    earliest — matching the forward op's tie rule). along < 0 clamps
+    The covering segment is the one with the LARGEST cum0 ≤ along.
+    cum0 ties ARE possible — a zero-length segment (duplicate
+    consecutive vertices, common in real GTFS shapes) shares its cum0
+    with the segment after it — and the tie breaks toward the LARGEST
+    seg_idx, i.e. the real segment that follows, so an along strictly
+    inside it interpolates instead of collapsing onto the duplicated
+    vertex (where t would clamp to 0). along < 0 clamps
     to the line start, along ≥ total length to the line end, exactly
     like the forward op clamps t. Same shapes as the forward op: one
     hash equi-join on the key, one map-side-combinable min(struct)
@@ -315,7 +323,7 @@ def position_along_keyed(
         F.struct(
             not_cover.alias("nc"),
             cum_rank.alias("ck"),
-            F.col("seg_idx").alias("seg_idx"),
+            (-F.col("seg_idx")).alias("nsi"),
             F.col("ax").alias("ax"),
             F.col("ay").alias("ay"),
             F.col("bx").alias("bx"),
@@ -341,7 +349,7 @@ def position_along_keyed(
         "measure_id",
         "line_id",
         F.col("_along").alias("along"),
-        F.col("_best.seg_idx").alias("seg_idx"),
+        (-F.col("_best.nsi")).alias("seg_idx"),
         t.alias("t"),
         (F.col("_best.ax") + t * (F.col("_best.bx") - F.col("_best.ax"))).alias("lon"),
         (F.col("_best.ay") + t * (F.col("_best.by") - F.col("_best.ay"))).alias("lat"),

@@ -87,31 +87,49 @@ def rasterize_sql(lat_expr: str, lon_expr: str, tile_res: int, px_bits: int = 4)
     )
 
 
-def pyramid_counts(counts: DataFrame, tile_res: int, px_bits: int = 4) -> DataFrame:
-    """One pyramid level up: (tile, px_x, px_y, n) at ``tile_res`` →
-    the same raster at ``tile_res - 1``. A parent pixel covers a 2×2
-    block of child pixels, so the rollup is pure integer arithmetic on
-    the GLOBAL fine-grid coordinates (x_f = tile_x·2^b + px_x, halved)
-    plus ONE partially-aggregating sum — count-preserving by
-    construction (the driver oracle's GROUP BY re-derives it from the
-    same child table). Iterate for a full pyramid; each level's output
-    is 4× smaller, so a z0..z14 pyramid costs ~4/3 of one level.
+def pyramid_counts(
+    counts: DataFrame, tile_res: int | None = None, px_bits: int = 4
+) -> DataFrame:
+    """One pyramid level up: (tile, px_x, px_y, n) → the same raster
+    one resolution coarser. A parent pixel covers a 2×2 block of child
+    pixels, so the rollup is pure integer arithmetic on the GLOBAL
+    fine-grid coordinates (x_f = tile_x·2^b + px_x, halved) plus ONE
+    partially-aggregating sum — count-preserving by construction (the
+    driver oracle's GROUP BY re-derives it from the same child table).
+    Iterate for a full pyramid; each level's output is 4× smaller, so
+    a z0..z14 pyramid costs ~4/3 of one level.
+
+    The child resolution is DERIVED from each tile id's own res bits
+    (shiftright(tile, 58)), same contract as :func:`pyramid_tiles` —
+    so heterogeneous inputs roll up correctly and a caller can't emit
+    parents with an inconsistent res prefix (ADVICE r4). Passing
+    ``tile_res`` adds a per-row assertion that every tile actually is
+    at that res; res-0 children raise (nothing coarser exists).
 
     The north-up pixel convention survives the halving: px_y stores
     (mask − y_f&mask), so y_f is recovered, halved, and re-flipped —
     pinned against rasterize_counts at the coarser res by pytest.
     """
     mask = (1 << px_bits) - 1
+    tres = F.shiftright(F.col("tile"), 58)
+    ok = tres >= F.lit(1)
+    msg = "pyramid_counts: child tiles at res 0 have no parent"
+    if tile_res is not None:
+        if tile_res < 1:
+            raise ValueError(msg)
+        ok = ok & (tres == F.lit(int(tile_res)))
+        msg = f"pyramid_counts: tile res bits != declared tile_res {tile_res}"
     tile_x = F.shiftright(F.col("tile"), 29).bitwiseAND(F.lit((1 << 29) - 1))
     tile_y = F.col("tile").bitwiseAND(F.lit((1 << 29) - 1))
     x_f = F.shiftleft(tile_x, px_bits) + F.col("px_x")
     y_f = F.shiftleft(tile_y, px_bits) + (F.lit(mask) - F.col("px_y"))
     xp, yp = F.shiftright(x_f, 1), F.shiftright(y_f, 1)
-    parent = (
-        F.lit(tile_res - 1).cast("long") * F.lit(1 << 58).cast("long")
+    parent = F.when(
+        ok,
+        (tres - F.lit(1)).cast("long") * F.lit(1 << 58).cast("long")
         + F.shiftright(xp, px_bits) * F.lit(1 << 29).cast("long")
-        + F.shiftright(yp, px_bits)
-    )
+        + F.shiftright(yp, px_bits),
+    ).otherwise(F.raise_error(F.lit(msg)))
     return (
         counts.select(
             parent.alias("tile"),
@@ -158,10 +176,15 @@ def pyramid_tiles(tiles: DataFrame, px_bits: int = 4, fmt: str = "png") -> DataF
     tile_x = F.shiftright(F.col("tile"), 29).bitwiseAND(F.lit((1 << 29) - 1))
     tile_y = F.col("tile").bitwiseAND(F.lit((1 << 29) - 1))
     tres = F.shiftright(F.col("tile"), 58)
-    parent = (
+    # res-0 children have no parent — tres-1 would pack -1 into the
+    # res bit field and emit a garbage tile id (ADVICE r4)
+    parent = F.when(
+        tres >= F.lit(1),
         (tres - F.lit(1)).cast("long") * F.lit(1 << 58).cast("long")
         + F.shiftright(tile_x, 1) * F.lit(1 << 29).cast("long")
-        + F.shiftright(tile_y, 1)
+        + F.shiftright(tile_y, 1),
+    ).otherwise(
+        F.raise_error(F.lit("pyramid_tiles: child tiles at res 0 have no parent"))
     )
     # child quadrant inside the parent: qx = tile_x & 1 (west/east),
     # qy = tile_y & 1 (south/north; row 0 of the mosaic is NORTH)

@@ -1776,129 +1776,70 @@ def crossmodal_canonical(spark, sf_dir):
     return multimodal.crossmodal_canonical(imgs, max_hamming=2, combos=2)
 
 
-# Driver-window rotation: the driver records at most 50 of the 60
-# registered queries, in dict order, so ten queries per round rest on
-# selfcheck + history instead of a fresh driver row.  Round 3 rotated
-# ten twice-green veterans out so the never-driver-checked queries got
-# rows (see NOTES_r3.md); round 4 (VERDICT r3 item 1) rotates those
-# veterans BACK IN — each now green in CORRECTNESS_r01+r02 and
-# selfcheck-verified in r3 — and rests ten THRICE-green queries
-# (driver rows in r1, r2 AND r3) instead, so no query ever goes two
-# consecutive rounds without a driver row.  The r4-changed queries
-# (a3_dissolve, g5b_polygon_clip — promoted to exact oracles) and
-# every single-row query stay in the window.
+# Driver-window rotation: the driver records at most 50 of the 86
+# registered queries, in dict order, so the rest lean on selfcheck +
+# prior-round driver rows instead of a fresh row.  Round-5 rotation
+# (VERDICT r4 item 2): ALL 35 r4-rested queries return to the window
+# — the 10 r3-era veterans' second cycle plus the heavy hitters
+# (j6_point_in_envelope, j9_tile_assign, j1_multiway_join,
+# minhash_lsh_pairs, ann_brute_topk/ann_ivf_topk, simhash_pairs, ...)
+# — so no query goes two consecutive rounds unwitnessed.  The tail
+# below rests 36 queries that ALL have fresh green rows in
+# CORRECTNESS_r04: 25 multi-round-green veterans, plus 11 r4
+# first-rowers whose machinery keeps an in-window representative
+# (ann_ivf_sq <- ann_brute_topk/ann_ivf_topk return; decontam_ngrams
+# <- decontam_bloom's verify join stays; image_aspect_bucket /
+# image_pack_batches <- scan_pack_shards runs the same grouped scan;
+# j10 <- bench's closed-form j10_box_lattice_1m gate every round +
+# j6's envelope machinery returns; j11/j11b/j12 <- j7_point_in_polygon
+# returns with the same exact polygon residual; phash_near_dup <-
+# simhash_pairs returns on the same signature_near_pairs path;
+# text_pii_scrub/text_repetition <- four text veterans return).
+# Staying in-window for a second consecutive row: the r4 red rows
+# (a15_zonal_stats, r2_raster_pyramid — oracle casts fixed this
+# round), the session-8 newcomers (j14/g14/g15/r1/r2), the once-green
+# compositions (curate_*, crossmodal_canonical, j13, embed_near_dup_ivf,
+# decontam_bloom, scan_pack_shards, tfidf_topk), and the new
+# r3_raster_pyramid_full.
 _DRIVER_TAIL = [
-    "a1_envelope",
-    "a2_convex_hull",
-    "a8_linestring_assembly",
-    "a9_multilinestring",
-    "cell_encode",
-    "cell_morton",
-    "dedup_exact",
-    "f4_exists_filter",
-    "g1_round_coords",
-    "text_lang_id",
-    # r4 late addition: resting an 11th thrice-green veteran keeps the
-    # new phash_near_dup inside the driver's 50-row window
-    "text_token_count",
-    # r4 second addition: rest a 12th (g13 driver-green r1+r2+r3) so
-    # the new embed_near_dup_ivf enters the window
-    "g13_json_extract",
-    # r4 third addition: rest a 13th thrice-green veteran so the new
-    # scan_pack_shards (distributed prefix scan) enters the window
-    "text_quality",
-    # r4 fourth addition: rest embed_near_dup (thrice-green; its
-    # exact-at-scale twin embed_near_dup_ivf stays in-window) so the
-    # new ann_ivf_sq (int8-quantized IVF + exact rescore) enters
-    "embed_near_dup",
-    # r4 fifth addition: rest two thrice-green veterans (each family
-    # keeps other in-window representatives: fingerprint<-text_repetition
-    # etc., asof<-t1_interval_join) so the new decontam_ngrams and
-    # text_repetition queries get driver rows in CORRECTNESS_r04
-    "text_fingerprint",
-    "asof_join",
-    # r4 sixth addition: rest w1_tumbling_window (thrice-green; its
-    # family keeps w2_sessionize AND s11_session_window in-window) so
-    # the new end-to-end curate_pipeline composition gets its driver
-    # row in CORRECTNESS_r04
-    "w1_tumbling_window",
-    # r4 seventh addition: rest ann_brute_topk (thrice-green; the ANN
-    # family keeps ann_ivf_topk, ann_ivf_trained AND ann_ivf_sq
-    # in-window) so the new tfidf_topk gets its driver row
-    "ann_brute_topk",
-    # r4 eighth addition: rest dedup_ngram_jaccard (thrice-green; the
-    # dedup family keeps minhash_lsh_pairs, simhash_pairs,
-    # dedup_clusters AND phash_near_dup in-window) so the new
-    # decontam_bloom (Bloom-prefiltered decontamination, exact via
-    # survivor verify) gets its driver row
-    "dedup_ngram_jaccard",
-    # r4 ninth addition: rest w2_sessionize (thrice-green; the
-    # session family keeps s11_session_window in-window) so the new
-    # text_pii_scrub (PII detection + redaction) gets its driver row
-    "w2_sessionize",
-    # r4 tenth addition: rest three thrice-green veterans, each with a
-    # same-family query still in-window (f1_date_window <- f2_semi_join;
-    # j8b_knn3 <- j8_knn; j6b_radius_join <- j6_point_in_envelope), so
-    # the new image-training batch-layout queries (image_aspect_bucket,
-    # image_pack_batches via the grouped prefix scan, and
-    # crossmodal_canonical) get driver rows in CORRECTNESS_r04
-    "f1_date_window",
-    "j8b_knn3",
-    "j6b_radius_join",
-    # r4 eleventh addition: rest j1_multiway_join (thrice-green; the
-    # join family keeps j3/j6/j7/j8/j9 in-window) so the composed
-    # curate_images_pipeline gets its driver row in CORRECTNESS_r04
-    "j1_multiway_join",
-    # r4 twelfth addition: rest minhash_signatures and g3_point_buffer
-    # (both thrice-green; families keep minhash_lsh_pairs/simhash_pairs
-    # and a3_dissolve/g2_simplify_rdp/g5 clips in-window) so the new
-    # overlay joins j10_box_join and j11_polygon_join get driver rows
-    "minhash_signatures",
-    "g3_point_buffer",
-    # r4 thirteenth addition: rest ann_ivf_topk (thrice-green; the ANN
-    # family keeps ann_ivf_trained AND ann_ivf_sq in-window, both of
-    # which execute the same IVF path end-to-end) so the new
-    # j12_line_polygon_join gets its driver row
-    "ann_ivf_topk",
-    # r4 fourteenth addition: rest simhash_pairs (thrice-green; the
-    # signature family keeps minhash_lsh_pairs, phash_near_dup AND
-    # dedup_clusters in-window) so j11b_polygon_join_convex (batched
-    # SAT residual) gets its driver row
-    "simhash_pairs",
-    # r4 fifteenth addition: rest j6_point_in_envelope (thrice-green;
-    # the envelope-machinery family keeps j10_box_join, j12 and
-    # j7_point_in_polygon in-window) so the new a15_zonal_stats
-    # (zonal aggregation on the overlay) gets its driver row
-    "j6_point_in_envelope",
-    # r4 sixteenth addition: rest a7_ordered_collect (thrice-green;
-    # the ordered-collect family keeps j4_ordered_lookup AND
-    # o2_toposort in-window) so the new j13_line_line_join (completing
-    # the join matrix) gets its driver row
-    "a7_ordered_collect",
-    # r4 seventeenth addition: rest three thrice-green veterans, each
-    # with in-window family coverage (sample_stratified <- the text
-    # family's five in-window rows; j7_point_in_polygon <- the exact
-    # polygon-residual family j11/j11b/j12 + a3_dissolve's ray cast;
-    # minhash_lsh_pairs <- phash_near_dup runs the same banded
-    # signature_near_pairs machinery at combos=2 and dedup_clusters
-    # consumes LSH pairs) so the new linear-referencing + raster
-    # queries (j14_snap_nearest_segment, g14_locate_along,
-    # r1_rasterize_density) get driver rows in CORRECTNESS_r04
-    "sample_stratified",
-    "j7_point_in_polygon",
-    "minhash_lsh_pairs",
-    # r4 eighteenth addition: rest j9_tile_assign (thrice-green; the
-    # tile-stamp family keeps r1_rasterize_density + r2_raster_pyramid
-    # — the same cell_col arithmetic — in-window, and the headline
-    # bench asserts j9's row count every run) so the new
-    # r2_raster_pyramid gets its driver row in CORRECTNESS_r04
-    "j9_tile_assign",
-    # r4 nineteenth addition: rest t1_interval_join (thrice-green; the
-    # temporal family keeps s11_session_window in-window and bench.py
-    # runs the identical interval_point_join operator every round) so
-    # the new g15_position_along (inverse linear referencing) gets its
-    # driver row in CORRECTNESS_r04
-    "t1_interval_join",
+    # 25 multi-round-green veterans (r4 row + >=1 earlier round)
+    "a10_nested_collect",
+    "a12_union_all",
+    "a13_cell_rollup",
+    "a14_cube",
+    "a3_dissolve",
+    "a3b_dissolve_components",
+    "a4_distinct",
+    "a5_first_per_key",
+    "a6_argmax",
+    "ann_ivf_trained",
+    "dedup_clusters",
+    "f2_semi_join",
+    "g11_hex_format",
+    "g2_simplify_rdp",
+    "g5b_polygon_clip",
+    "g5c_clip_conservation",
+    "j3_left_join",
+    "j4_ordered_lookup",
+    "j8_knn",
+    "kmv_distinct",
+    "o2_toposort",
+    "q1_group_quantiles",
+    "s11_session_window",
+    "s7_filenames",
+    "text_stopword_ratio",
+    # 11 r4 first-rowers with in-window family coverage (see above)
+    "ann_ivf_sq",
+    "decontam_ngrams",
+    "image_aspect_bucket",
+    "image_pack_batches",
+    "j10_box_join",
+    "j11_polygon_join",
+    "j11b_polygon_join_convex",
+    "j12_line_polygon_join",
+    "phash_near_dup",
+    "text_pii_scrub",
+    "text_repetition",
 ]
 
 
@@ -3577,7 +3518,7 @@ def j11b_polygon_join_convex(spark, sf_dir):
     f"""
 SELECT b.s_suppkey AS suppkey,
        count(*) AS n_left,
-       sum(a.c_custkey) AS sum_w
+       CAST(sum(a.c_custkey) AS BIGINT) AS sum_w
 FROM ({CUSTOMER_BOXES_SQL}) a JOIN ({SUPPLIER_BOXES_SQL}) b
   ON a.min_lon <= b.max_lon AND b.min_lon <= a.max_lon
  AND a.min_lat <= b.max_lat AND b.min_lat <= a.max_lat
@@ -3846,7 +3787,7 @@ def r1_rasterize_density(spark, sf_dir):
 @q(
     "r2_raster_pyramid",
     f"""
-SELECT tile, px_x, px_y, sum(n) AS n
+SELECT tile, px_x, px_y, CAST(sum(n) AS BIGINT) AS n
 FROM (
   SELECT {raster.pyramid_sql(TILE_RES, 4)}, n
   FROM (
@@ -3877,12 +3818,63 @@ def r2_raster_pyramid(spark, sf_dir):
     return raster.pyramid_counts(child, TILE_RES, 4)
 
 
+# ---- R3: FULL pyramid path — r2 pins one z→z−1 level; this iterates
+# pyramid_counts three levels (z→z−3, each level 4× smaller, whole
+# pyramid ~4/3 the cost of one level) so the claimed full-pyramid
+# serving path is driver-pinned end-to-end. Uses the derived-res
+# contract (no tile_res argument — res comes from each tile id's own
+# bits, ADVICE r4). The oracle nests the identical halving arithmetic
+# three times ----
+@q(
+    "r3_raster_pyramid_full",
+    f"""
+WITH c0 AS (
+  SELECT tile, px_x, px_y, count(*) AS n
+  FROM (
+    SELECT {raster.rasterize_sql(lat_sql('(l_orderkey * 6 + l_linenumber)'),
+                                 lon_sql('(l_orderkey * 6 + l_linenumber)'),
+                                 TILE_RES, 4)}
+    FROM lineitem
+  )
+  GROUP BY 1, 2, 3
+), c1 AS (
+  SELECT tile, px_x, px_y, CAST(sum(n) AS BIGINT) AS n
+  FROM (SELECT {raster.pyramid_sql(TILE_RES, 4)}, n FROM c0)
+  GROUP BY 1, 2, 3
+), c2 AS (
+  SELECT tile, px_x, px_y, CAST(sum(n) AS BIGINT) AS n
+  FROM (SELECT {raster.pyramid_sql(TILE_RES - 1, 4)}, n FROM c1)
+  GROUP BY 1, 2, 3
+)
+SELECT tile, px_x, px_y, CAST(sum(n) AS BIGINT) AS n
+FROM (SELECT {raster.pyramid_sql(TILE_RES - 2, 4)}, n FROM c2)
+GROUP BY 1, 2, 3
+""",
+)
+def r3_raster_pyramid_full(spark, sf_dir):
+    """R3 — full-pyramid rollup: three iterated pyramid_counts levels
+    (z→z−3) on the derived-res contract, one partial-aggregating
+    shuffle per level and geometrically shrinking level sizes — the
+    tile-pyramid serving format for the north-star image table
+    (operators/raster.py pyramid_counts; level-wise exactness is r2,
+    this pins the composition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 6 + F.col("l_linenumber")
+    pts = li.select(lon_col(key).alias("lon"), lat_col(key).alias("lat"))
+    out = raster.rasterize_counts(pts, TILE_RES, 4)
+    for _ in range(3):
+        out = raster.pyramid_counts(out, px_bits=4)
+    return out
+
+
 # ---- G15: inverse linear referencing — (line, along) → the point
 # that far along the polyline (the other half of g14; schedule →
 # position interpolation). Same nation%5 polylines; along values are
 # deterministic and deliberately include negatives (clamp to start)
 # and beyond-total (clamp to end). The oracle re-derives the covering
-# segment with the kernel's exact (not_cover, ±cum0, seg_idx) order ----
+# segment with the kernel's exact (not_cover, ±cum0, seg_idx DESC)
+# order — cum0 ties break toward the LARGEST seg_idx so the real
+# segment after a zero-length one wins (ADVICE r4) ----
 @q(
     "g15_position_along",
     f"""
@@ -3915,7 +3907,7 @@ WITH v AS (
            PARTITION BY c_custkey
            ORDER BY CASE WHEN cum0 > along THEN 1 ELSE 0 END,
                     CASE WHEN cum0 <= along THEN -cum0 ELSE cum0 END,
-                    seg_idx
+                    seg_idx DESC
          ) AS rn
   FROM m JOIN seg USING (line_id)
 )

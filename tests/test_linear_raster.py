@@ -395,6 +395,47 @@ def test_pyramid_counts_equals_direct_rasterize(spark):
     pd.testing.assert_frame_equal(up, direct, check_dtype=False)
 
 
+def test_pyramid_guards(spark):
+    """ADVICE r4: res-0 children must raise (tres-1 would pack -1 into
+    the res bit field), a declared tile_res that contradicts the tile
+    ids' own res bits must raise instead of silently emitting parents
+    with a wrong res prefix, and pyramid_counts without tile_res
+    derives res from the ids like pyramid_tiles does."""
+    rng = np.random.RandomState(23)
+    pts = pd.DataFrame({"lon": rng.rand(200) * 350 - 175, "lat": rng.rand(200) * 170 - 85})
+    df = spark.createDataFrame(pts)
+    child = raster.rasterize_counts(df, 9, 3)
+    # derived-res path (no tile_res) equals the declared-res path
+    a = raster.pyramid_counts(child, px_bits=3).toPandas().sort_values(
+        ["tile", "px_x", "px_y"]).reset_index(drop=True)
+    b = raster.pyramid_counts(child, 9, 3).toPandas().sort_values(
+        ["tile", "px_x", "px_y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # declared res contradicting the id bits raises at execution
+    with pytest.raises(Exception, match="res bits"):
+        raster.pyramid_counts(child, 8, 3).collect()
+    # res-0 children have no parent: counts...
+    zero = raster.rasterize_counts(df, 0, 3)
+    with pytest.raises(Exception, match="res 0"):
+        raster.pyramid_counts(zero, px_bits=3).collect()
+    with pytest.raises(ValueError, match="res 0"):
+        raster.pyramid_counts(zero, 0, 3)
+    # ...and tiles
+    t0 = raster.density_tiles(zero, px_bits=3)
+    with pytest.raises(Exception, match="res 0"):
+        raster.pyramid_tiles(t0, px_bits=3).collect()
+
+
+def test_snap_res_bounds():
+    """snap_points_to_segments rejects res outside [0, MAX_RES] instead
+    of silently overflowing the x*2^29+y cell packing (ADVICE r4)."""
+    from gtfs_to_geojson_spark import cells
+
+    for bad in (-1, cells.MAX_RES + 1, 30):
+        with pytest.raises(ValueError, match="res must be"):
+            linear_ref.snap_points_to_segments(None, None, 0.1, bad)
+
+
 def test_pyramid_sql_mirror_matches(spark):
     import duckdb
 
@@ -464,15 +505,17 @@ def test_pyramid_tiles_matches_numpy(spark):
 
 def _brute_position(measures: pd.DataFrame, segs: pd.DataFrame):
     """Reference: covering segment = largest cum0 <= along (none ->
-    smallest cum0), tie to lowest seg_idx; clamp t to [0,1]."""
+    smallest cum0), cum0 ties to the LARGEST seg_idx — the real
+    segment after a zero-length one, so interior measures interpolate
+    instead of clamping to the duplicated vertex; clamp t to [0,1]."""
     out = {}
     for _, m in measures.iterrows():
         mine = segs[segs.line_id == m.line_id]
         cover = mine[mine.cum0 <= m.along]
         if len(cover):
-            row = cover.sort_values(["cum0", "seg_idx"], ascending=[False, True]).iloc[0]
+            row = cover.sort_values(["cum0", "seg_idx"], ascending=[False, False]).iloc[0]
         else:
-            row = mine.sort_values(["cum0", "seg_idx"]).iloc[0]
+            row = mine.sort_values(["cum0", "seg_idx"], ascending=[True, False]).iloc[0]
         seg_len = float(np.hypot(row.bx - row.ax, row.by - row.ay))
         t = 0.0 if seg_len == 0 else min(max((m.along - row.cum0) / seg_len, 0.0), 1.0)
         out[m.measure_id] = (
@@ -532,6 +575,49 @@ def test_position_clamps_at_both_ends(spark):
     assert (out.loc[2, "lon"], out.loc[2, "lat"]) == (0.5, 0.0)
     assert (out.loc[3, "lon"], out.loc[3, "lat"]) == (1.0, 1.5)  # on 2nd seg
     assert (out.loc[4, "lon"], out.loc[4, "lat"]) == (1.0, 2.0)  # clamp end
+
+
+def test_position_after_zero_length_segment_interpolates(spark):
+    """Duplicate consecutive vertices (common in real GTFS shapes) make
+    a zero-length segment whose cum0 equals the NEXT segment's cum0.
+    A measure strictly inside the following segment must interpolate
+    on it — the old earliest-seg_idx tie-break collapsed the whole
+    following segment onto the duplicated vertex (ADVICE r4)."""
+    # vertices (0,0) (1,0) (1,0) (3,0): seg1 is zero-length at cum0=1,
+    # seg2 shares cum0=1
+    segs = pd.DataFrame(
+        [
+            (0, 0, 0.0, 0.0, 1.0, 0.0, 0.0),
+            (0, 1, 1.0, 0.0, 1.0, 0.0, 1.0),
+            (0, 2, 1.0, 0.0, 3.0, 0.0, 1.0),
+        ],
+        columns=list(linear_ref.SEG_COLS),
+    )
+    meas = pd.DataFrame(
+        {"measure_id": [1, 2, 3], "line_id": [0] * 3, "along": [2.0, 1.0, 0.5]}
+    )
+    out = (
+        linear_ref.position_along_keyed(
+            spark.createDataFrame(meas), spark.createDataFrame(segs)
+        )
+        .toPandas()
+        .set_index("measure_id")
+    )
+    # strictly inside seg 2: interpolate, not clamp to the vertex
+    assert out.loc[1, "seg_idx"] == 2
+    assert (out.loc[1, "lon"], out.loc[1, "lat"]) == (2.0, 0.0)
+    # exactly at the shared cum0: the real following segment wins, t=0
+    assert out.loc[2, "seg_idx"] == 2
+    assert (out.loc[2, "lon"], out.loc[2, "lat"]) == (1.0, 0.0)
+    # untouched by the tie rule
+    assert out.loc[3, "seg_idx"] == 0
+    assert (out.loc[3, "lon"], out.loc[3, "lat"]) == (0.5, 0.0)
+    # the brute reference mirrors the same rule on the same fixture
+    ref = _brute_position(meas, segs)
+    for mid, (si, lon, lat) in ref.items():
+        assert out.loc[mid, "seg_idx"] == si
+        assert out.loc[mid, "lon"] == pytest.approx(lon, abs=0)
+        assert out.loc[mid, "lat"] == pytest.approx(lat, abs=0)
 
 
 def test_locate_position_roundtrip(spark):

@@ -168,6 +168,59 @@ def main():
             "along_ok": agg["along_ok"],
             "exact": True,
         }
+
+    # ---- inverse pass (VERDICT r4 item 5): position_along at the
+    # same 100M scale. The forward snap proved along == L·(p+1)/(P+1)
+    # to 1e-9 (along_ok above); feeding that along back through
+    # position_along_keyed must land exactly on the snap foot
+    # (lon = c·S + along, lat = r·S — dist-0 roundtrip), t = along/L,
+    # on the own segment. 100M measures × 10M single-segment lines,
+    # one keyed hash join + one map-side-combinable argmin.
+    mid = F.col("id")
+    mown = (mid / ppseg).cast("long")
+    mp = (mid % ppseg).cast("double")
+    meas = spark.range(n_pts).select(
+        mid.alias("measure_id"),
+        mown.alias("line_id"),
+        (F.lit(SEG_LEN) * (mp + 1) / F.lit(float(ppseg + 1))).alias("along"),
+    )
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        pos = linear_ref.position_along_keyed(meas, segs)
+        own_id = (F.col("measure_id") / ppseg).cast("long")
+        mpp = (F.col("measure_id") % ppseg).cast("double")
+        want_lon = (
+            F.lit(LON0)
+            + (own_id % a) * STEP
+            + F.lit(SEG_LEN) * (mpp + 1) / F.lit(float(ppseg + 1))
+        )
+        want_lat = F.lit(LAT0) + (own_id / a).cast("long") * STEP
+        want_t = (mpp + 1) / F.lit(float(ppseg + 1))
+        agg = pos.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("line_id") == own_id).cast("long")).alias("own_hits"),
+            F.sum((F.abs(F.col("lon") - want_lon) <= 1e-9).cast("long")).alias("lon_ok"),
+            F.sum((F.abs(F.col("lat") - want_lat) <= 1e-9).cast("long")).alias("lat_ok"),
+            F.sum((F.abs(F.col("t") - want_t) <= 1e-9).cast("long")).alias("t_ok"),
+        ).collect()[0]
+        walls.append(time.time() - t0)
+        ok = all(agg[k] == n_pts for k in ("rows", "own_hits", "lon_ok", "lat_ok", "t_ok"))
+        if not ok:
+            print(json.dumps(out))
+            raise SystemExit(f"position roundtrip check FAILED: {agg}")
+    wall = min(walls)
+    out["position"] = {
+        "wall_s": round(wall, 2),
+        "walls": [round(w, 2) for w in walls],
+        "measures_per_sec": int(n_pts / wall),
+        "rows": agg["rows"],
+        "own_hits": agg["own_hits"],
+        "lon_ok": agg["lon_ok"],
+        "lat_ok": agg["lat_ok"],
+        "t_ok": agg["t_ok"],
+        "exact": True,
+    }
     print(json.dumps(out))
     spark.stop()
 

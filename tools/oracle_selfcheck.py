@@ -41,6 +41,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            # the driver's value hash is TYPED: a bigint column on one
+            # side and float64 on the other hash-mismatch even when
+            # every value is equal (the r4 a15/r2 red rows — uncast
+            # DuckDB sum() exports HUGEINT as float64). Mirror that.
+            ak, bk = np.asarray(av).dtype.kind, np.asarray(bv).dtype.kind
+            if {ak, bk} <= {"i", "u", "f"} and ("f" in (ak, bk)) != (ak == bk == "f"):
+                problems.append(
+                    f"col {c}: dtype class mismatch spark={np.asarray(av).dtype}"
+                    f" duck={np.asarray(bv).dtype} (driver's typed hash would differ"
+                    " — CAST the oracle projection)"
+                )
             if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(np.asarray(bv).dtype, np.floating):
                 av = np.asarray(av, dtype=np.float64)
                 bv = np.asarray(bv, dtype=np.float64)

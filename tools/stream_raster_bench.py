@@ -1,0 +1,192 @@
+"""Streaming-rasterization LONG drain (VERDICT r4 item 6): the
+complete-mode live-raster stream under a real backlog, ≥50M points,
+showing the bounded-state claim with measured state-store sizes.
+
+stream_rasterize_counts needs NO watermark to stay bounded: the
+aggregation state IS the raster, capped at occupied_tiles·(2^px_bits)²
+rows no matter how many points flow through. This tool drains a 64M-
+point file backlog (64 × 1M-row parquet drops, deterministic lattice
+over a ~1°×2° box → a few thousand occupied tiles at res 14) through
+run_rasterize_stream_to_memory and reports:
+
+* drain wall + points/sec at TWO parallelism levels (fresh JVM each,
+  interleaved low/high attempts with per-level minima — the
+  tools/bench_scaling.py noise protocol) + scaling efficiency;
+* max streaming-state rows across every progress event
+  (stateOperators numRowsTotal — the bounded-state measurement) vs
+  the input row count;
+* exactness: the final complete-mode raster equals batch
+  rasterize_counts over the identical input — exceptAll both ways
+  empty, sum(n) == n_points.
+
+Usage: python tools/stream_raster_bench.py               (full)
+       python tools/stream_raster_bench.py --child CPUS IN CKPT
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell")
+
+N_FILES = int(os.environ.get("SPARK_GRAFT_SRB_FILES", "64"))
+ROWS_PER_FILE = int(os.environ.get("SPARK_GRAFT_SRB_ROWS", "1000000"))
+TILE_RES = 14
+PX_BITS = 4
+LON0, LAT0 = -60.0, 10.0
+IN_DIR = f"/tmp/spark_graft_stream_raster_{N_FILES}_{ROWS_PER_FILE}"
+
+
+def build_input(spark) -> None:
+    """64 deterministic 1M-row drops. Points land on a fine lattice
+    inside a ~1°×2° box (lon stride 1e-5 over 1°, lat stride 2e-5) so
+    the occupied-raster bound is a few thousand tiles — and every file
+    covers the whole box, so EVERY micro-batch updates most of the
+    raster state (the worst case for state growth, the point of the
+    measurement)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(IN_DIR, "_build_done")):
+        return
+    shutil.rmtree(IN_DIR, ignore_errors=True)
+    for f in range(N_FILES):
+        sid = F.col("id") + F.lit(f * ROWS_PER_FILE)
+        df = spark.range(ROWS_PER_FILE).select(
+            sid.alias("point_id"),
+            (F.lit(LON0) + (sid % 100_000).cast("double") * 1e-5).alias("lon"),
+            (F.lit(LAT0) + ((sid / 7) % 100_000).cast("double") * 2e-5).alias("lat"),
+        )
+        # flat dir of part files (the streaming file source counts
+        # FILES for maxFilesPerTrigger): 4 per drop -> 256 total
+        df.coalesce(4).write.mode("append").parquet(IN_DIR)
+    open(os.path.join(IN_DIR, "_build_done"), "w").write("ok")
+
+
+def child(argv: list[str]) -> None:
+    cpus, in_glob, ckpt = int(argv[0]), argv[1], argv[2]
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from pyspark.sql import functions as F
+
+    from gtfs_to_geojson_spark.operators.raster import rasterize_counts
+    from gtfs_to_geojson_spark.session import get_spark
+    from gtfs_to_geojson_spark.streaming import stream_assign as SA
+
+    spark = get_spark(
+        app_name=f"stream-raster-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.time()
+    q = SA.run_rasterize_stream_to_memory(
+        spark, in_glob, ckpt, "live_raster", TILE_RES, PX_BITS
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    state_rows = 0
+    batches = 0
+    for p in q.recentProgress:
+        batches += 1
+        for so in p.get("stateOperators") or []:
+            state_rows = max(state_rows, so.get("numRowsTotal", 0))
+    got = spark.table("live_raster")
+    n_rows = got.count()
+    total = got.agg(F.sum("n")).collect()[0][0]
+    # exactness vs the batch twin on the identical input
+    batch = rasterize_counts(
+        spark.read.parquet(in_glob).select("lon", "lat"), TILE_RES, PX_BITS
+    )
+    diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+    print(
+        "SRB "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "wall_s": round(wall, 2),
+                "raster_rows": n_rows,
+                "state_rows_max": state_rows,
+                "sum_n": total,
+                "batch_diff": diff,
+                "micro_batches": batches,
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_level(cpus: int) -> dict:
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--child",
+            str(cpus),
+            IN_DIR,
+            f"/tmp/srb_ckpt_{cpus}",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("SRB "):
+            return json.loads(line[4:])
+    raise RuntimeError(f"child {cpus} failed:\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2:])
+        return
+    from gtfs_to_geojson_spark.session import get_spark
+
+    spark = get_spark(app_name="srb-build", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    build_input(spark)
+    spark.stop()
+
+    n_points = N_FILES * ROWS_PER_FILE
+    lo, hi = 8, 32
+    reps = int(os.environ.get("SPARK_GRAFT_SRB_REPS", "2"))
+    best: dict[int, dict] = {}
+    for _ in range(reps):
+        for cpus in (lo, hi):
+            r = run_level(cpus)
+            sys.stderr.write(f"level {cpus}: {r}\n")
+            if r["batch_diff"] != 0 or r["sum_n"] != n_points:
+                raise SystemExit(f"exactness FAILED at {cpus} cpus: {r}")
+            cur = best.get(cpus)
+            if cur is None or r["wall_s"] < cur["wall_s"]:
+                best[cpus] = r
+    eff = (best[lo]["wall_s"] / best[hi]["wall_s"]) / (hi / lo)
+    out = {
+        "metric": "streaming rasterization long drain (complete-mode raster state)",
+        "n_points": n_points,
+        "n_files": N_FILES,
+        "tile_res": TILE_RES,
+        "px_bits": PX_BITS,
+        "low": best[lo],
+        "high": best[hi],
+        "points_per_sec_high": int(n_points / best[hi]["wall_s"]),
+        "scaling_efficiency": round(eff, 3),
+        "state_bound_rows": best[hi]["raster_rows"],
+        "state_rows_max": best[hi]["state_rows_max"],
+        "input_to_state_ratio": round(n_points / max(1, best[hi]["state_rows_max"])),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
