@@ -97,7 +97,15 @@ def pyramid_counts(
     partially-aggregating sum — count-preserving by construction (the
     driver oracle's GROUP BY re-derives it from the same child table).
     Iterate for a full pyramid; each level's output is 4× smaller, so
-    a z0..z14 pyramid costs ~4/3 of one level.
+    a z0..z14 pyramid costs ~4/3 of one level — measured exactly at
+    2^30 points / 20 levels (BENCH/ROBUSTNESS.md §full pyramid).
+
+    When iterating MANY levels, break lineage at each level (eager
+    ``localCheckpoint`` or a per-level parquet write, which a tile
+    server does anyway): the data shrinks 4× per level but the chained
+    Catalyst plan deepens, and past ~14 unbroken levels analysis cost
+    explodes super-linearly (measured 1374 s vs 21.6 s for the same
+    20-level pyramid — the ROBUSTNESS lineage-cliff row).
 
     The child resolution is DERIVED from each tile id's own res bits
     (shiftright(tile, 58)), same contract as :func:`pyramid_tiles` —

@@ -334,13 +334,19 @@ def run_rasterize_stream_to_memory(
     tile_res: int = 14,
     px_bits: int = 4,
     timeout_s: float | None = None,
+    max_files_per_trigger: int = 8,
 ):
     """Complete-mode raster sink: every trigger re-emits the whole
     (raster-bounded) count table, so a consumer always reads a
     consistent full heat map; the checkpointed state store carries the
     counts across restarts — a second invocation reads ONLY new point
-    drops yet still emits the cumulative raster."""
-    counts = stream_rasterize_counts(spark, input_dir, tile_res, px_bits)
+    drops yet still emits the cumulative raster.
+    ``max_files_per_trigger`` is the latency/throughput dial: small
+    batches for a live map, large ones to drain a backlog (per-batch
+    state-commit cost is fixed — see tools/stream_raster_bench.py)."""
+    counts = stream_rasterize_counts(
+        spark, input_dir, tile_res, px_bits, max_files_per_trigger
+    )
     q = (
         counts.writeStream.format("memory")
         .queryName(table_name)

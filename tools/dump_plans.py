@@ -94,6 +94,10 @@ def main():
         # r4 session 8: pyramid rollup — the z-1 level adds one more
         # partial-agg exchange on the raster-bounded frame, 0 Python
         "r2_raster_pyramid": OQ.r2_raster_pyramid(spark, sf_dir),
+        # r5: three iterated levels (derived-res contract) — one
+        # partial-agg exchange per level, still 0 Python; deep
+        # iteration breaks lineage instead (ROBUSTNESS lineage cliff)
+        "r3_raster_pyramid_full": OQ.r3_raster_pyramid_full(spark, sf_dir),
     }
 
     from gtfs_to_geojson_spark.operators import relational

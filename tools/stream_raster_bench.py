@@ -71,6 +71,7 @@ def build_input(spark) -> None:
 
 def child(argv: list[str]) -> None:
     cpus, in_glob, ckpt = int(argv[0]), argv[1], argv[2]
+    mfpt = int(argv[3]) if len(argv) > 3 else 8
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from pyspark.sql import functions as F
 
@@ -78,17 +79,28 @@ def child(argv: list[str]) -> None:
     from gtfs_to_geojson_spark.session import get_spark
     from gtfs_to_geojson_spark.streaming import stream_assign as SA
 
+    # State-store shards must be sized to the STATE, not the cluster:
+    # the raster state is a few thousand rows, and every micro-batch
+    # pays a fixed commit per shard — at shuffle_partitions=cpus*2 the
+    # first run of this bench measured local[32] 2× SLOWER than
+    # local[8] (55 vs 26 s: 64 shards × 32 batches of state commits
+    # dominating ~2M-row map work). A fixed small shard count pins the
+    # state overhead equal at both levels while the map side (the part
+    # proportional to input) scales with cores; on a real cluster the
+    # checkpoint freezes this number at first run, so it must be
+    # chosen for the state anyway.
     spark = get_spark(
         app_name=f"stream-raster-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus * 2,
+        shuffle_partitions=8,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.time()
     q = SA.run_rasterize_stream_to_memory(
-        spark, in_glob, ckpt, "live_raster", TILE_RES, PX_BITS
+        spark, in_glob, ckpt, "live_raster", TILE_RES, PX_BITS,
+        max_files_per_trigger=mfpt,
     )
     q.awaitTermination()
     wall = time.time() - t0
@@ -123,7 +135,7 @@ def child(argv: list[str]) -> None:
     spark.stop()
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, mfpt: int = 8) -> dict:
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     p = subprocess.run(
@@ -133,7 +145,8 @@ def run_level(cpus: int) -> dict:
             "--child",
             str(cpus),
             IN_DIR,
-            f"/tmp/srb_ckpt_{cpus}",
+            f"/tmp/srb_ckpt_{cpus}_{mfpt}",
+            str(mfpt),
         ],
         capture_output=True,
         text=True,
@@ -160,31 +173,39 @@ def main() -> None:
     n_points = N_FILES * ROWS_PER_FILE
     lo, hi = 8, 32
     reps = int(os.environ.get("SPARK_GRAFT_SRB_REPS", "2"))
-    best: dict[int, dict] = {}
-    for _ in range(reps):
-        for cpus in (lo, hi):
-            r = run_level(cpus)
-            sys.stderr.write(f"level {cpus}: {r}\n")
-            if r["batch_diff"] != 0 or r["sum_n"] != n_points:
-                raise SystemExit(f"exactness FAILED at {cpus} cpus: {r}")
-            cur = best.get(cpus)
-            if cur is None or r["wall_s"] < cur["wall_s"]:
-                best[cpus] = r
-    eff = (best[lo]["wall_s"] / best[hi]["wall_s"]) / (hi / lo)
+    # two drain shapes: mfpt=8 (32 micro-batches — the live-map
+    # granularity, fixed per-batch cost dominates) and mfpt=64 (one
+    # mega-batch — the backlog-catchup shape, map work amortized)
     out = {
         "metric": "streaming rasterization long drain (complete-mode raster state)",
         "n_points": n_points,
         "n_files": N_FILES,
         "tile_res": TILE_RES,
         "px_bits": PX_BITS,
-        "low": best[lo],
-        "high": best[hi],
-        "points_per_sec_high": int(n_points / best[hi]["wall_s"]),
-        "scaling_efficiency": round(eff, 3),
-        "state_bound_rows": best[hi]["raster_rows"],
-        "state_rows_max": best[hi]["state_rows_max"],
-        "input_to_state_ratio": round(n_points / max(1, best[hi]["state_rows_max"])),
     }
+    for label, mfpt in (("live_mfpt8", 8), ("drain_mfpt64", 64)):
+        best: dict[int, dict] = {}
+        for _ in range(reps):
+            for cpus in (lo, hi):
+                r = run_level(cpus, mfpt)
+                sys.stderr.write(f"{label} level {cpus}: {r}\n")
+                if r["batch_diff"] != 0 or r["sum_n"] != n_points:
+                    raise SystemExit(f"exactness FAILED at {cpus} cpus: {r}")
+                cur = best.get(cpus)
+                if cur is None or r["wall_s"] < cur["wall_s"]:
+                    best[cpus] = r
+        eff = (best[lo]["wall_s"] / best[hi]["wall_s"]) / (hi / lo)
+        out[label] = {
+            "low": best[lo],
+            "high": best[hi],
+            "points_per_sec_high": int(n_points / best[hi]["wall_s"]),
+            "scaling_efficiency": round(eff, 3),
+        }
+    out["state_bound_rows"] = out["live_mfpt8"]["high"]["raster_rows"]
+    out["state_rows_max"] = out["live_mfpt8"]["high"]["state_rows_max"]
+    out["input_to_state_ratio"] = round(
+        n_points / max(1, out["state_rows_max"])
+    )
     print(json.dumps(out))
 
 
