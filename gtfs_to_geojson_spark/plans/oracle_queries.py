@@ -3198,7 +3198,11 @@ WITH toks AS (
   SELECT count(*) AS n_docs FROM documents
 ), scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-         tf.tf * (n.n_docs + 1.0) / (dfreq.df + 1.0) AS score
+         -- parenthesized to mirror the engine's tf * ((N+1)/(df+1))
+         -- association exactly: (tf*(N+1))/(df+1) differs by 1 ulp on
+         -- some inputs and 72 sf0.1 rows straddled the round(,6)
+         -- boundary (r5 full-SF sweep finding)
+         tf.tf * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score
   FROM tf JOIN dfreq USING (term) CROSS JOIN n
 ), ranked AS (
   SELECT doc_id, term, tf, df, score,
@@ -3357,19 +3361,30 @@ def j10_box_join(spark, sf_dir):
 # squares) so the exact residual really rejects bbox-overlap
 # candidates, while DuckDB checks the closed form: two diamonds of
 # half-diagonals h1/h2 intersect iff the rotated-frame (u = x+y,
-# v = x−y) center offsets both stay within h1+h2 ----
+# v = x−y) center offsets both stay within h1+h2.
+#
+# The h constants carry sub-lattice offsets (+1.3e-9 / +2.4e-9; r5):
+# the derived centers live on an exact-decimal 1e-8 grid (coordinates
+# are multiples of LON_SPAN/MOD = 1.7e-9·100 with LON0 cancelling in
+# every Δ) while plain h sums are multiples of 1e-3, so |Δv| = h1+h2
+# EXACT corner tangencies occur in the lattice — the sf0.1 sweep found
+# two, where double rounding split the tie differently between the
+# kernel and the closed form. The offsets push every boundary
+# 2.4–3.7e-9 off the grid (verified minima over all 15M sf0.1 pairs:
+# 3.7e-9 both axes; j12 2.4e-9 — test_oracle_invariants.py pins it),
+# five orders above double rounding, so both engines agree exactly ----
 _DIAMONDS_A_SQL = f"""
 SELECT c_custkey,
        {lon_sql('(c_custkey * 17 + 3)')} AS cx,
        {lat_sql('(c_custkey * 29 + 11)')} AS cy,
-       CAST((c_custkey % 9) + 1 AS DOUBLE) * 0.003 AS h
+       CAST((c_custkey % 9) + 1 AS DOUBLE) * 0.003 + 1.3e-9 AS h
 FROM customer
 """
 _DIAMONDS_B_SQL = f"""
 SELECT s_suppkey,
        {lon_sql('(s_suppkey * 13 + 7)')} AS cx,
        {lat_sql('(s_suppkey * 11 + 5)')} AS cy,
-       CAST((s_suppkey % 7) + 2 AS DOUBLE) * 0.004 AS h
+       CAST((s_suppkey % 7) + 2 AS DOUBLE) * 0.004 + 2.4e-9 AS h
 FROM supplier
 """
 
@@ -3406,14 +3421,14 @@ def j11_polygon_join(spark, sf_dir):
         "c_custkey",
         lon_col(F.col("c_custkey") * 17 + 3),
         lat_col(F.col("c_custkey") * 29 + 11),
-        ((F.col("c_custkey") % 9) + 1).cast("double") * F.lit(0.003),
+        ((F.col("c_custkey") % 9) + 1).cast("double") * F.lit(0.003) + F.lit(1.3e-9),
     )
     db = _diamond_frame(
         s,
         "s_suppkey",
         lon_col(F.col("s_suppkey") * 13 + 7),
         lat_col(F.col("s_suppkey") * 11 + 5),
-        ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.004),
+        ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.004) + F.lit(2.4e-9),
     )
     out = overlap.polygon_intersect_join(da, db, res=CELL_RES)
     return out.select(
@@ -3464,7 +3479,7 @@ def j12_line_polygon_join(spark, sf_dir):
         "s_suppkey",
         lon_col(F.col("s_suppkey") * 13 + 7),
         lat_col(F.col("s_suppkey") * 11 + 5),
-        ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.004),
+        ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.004) + F.lit(2.4e-9),
     )
     out = overlap.line_polygon_intersect_join(lines, polys, res=CELL_RES)
     return out.select(
@@ -3495,14 +3510,14 @@ def j11b_polygon_join_convex(spark, sf_dir):
         "c_custkey",
         lon_col(F.col("c_custkey") * 17 + 3),
         lat_col(F.col("c_custkey") * 29 + 11),
-        ((F.col("c_custkey") % 9) + 1).cast("double") * F.lit(0.003),
+        ((F.col("c_custkey") % 9) + 1).cast("double") * F.lit(0.003) + F.lit(1.3e-9),
     )
     db = _diamond_frame(
         s,
         "s_suppkey",
         lon_col(F.col("s_suppkey") * 13 + 7),
         lat_col(F.col("s_suppkey") * 11 + 5),
-        ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.004),
+        ((F.col("s_suppkey") % 7) + 2).cast("double") * F.lit(0.004) + F.lit(2.4e-9),
     )
     out = overlap.polygon_intersect_join(da, db, res=CELL_RES, assume_convex=True)
     return out.select(

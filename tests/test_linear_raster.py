@@ -661,6 +661,85 @@ def test_locate_position_roundtrip(spark):
 
 
 # ---------------------------------------------------------------------------
+# tile pyramid job (jobs/tile_pyramid_job.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tile_pyramid_job_levels_and_resume(spark, tmp_path):
+    """The resumable pyramid job: every committed level must equal
+    rasterizing the SAME points directly at that res (write-per-level
+    = lineage break + resume unit), counts conserve across levels,
+    --resume skips committed levels, and --render emits decodable
+    tiles."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, str(_repo_root()))
+    from jobs import tile_pyramid_job
+
+    rng = np.random.RandomState(33)
+    pts = pd.DataFrame(
+        {"lon": rng.rand(5000) * 350 - 175, "lat": rng.rand(5000) * 170 - 85}
+    )
+    src = str(tmp_path / "pts.parquet")
+    spark.createDataFrame(pts).write.parquet(src)
+    out = str(tmp_path / "pyr")
+
+    metrics = tile_pyramid_job.run(
+        spark, src, out, tile_res=9, px_bits=3, min_res=6, render=True
+    )
+    by = {m["level"]: m for m in metrics}
+    assert set(by) == {"z9", "z8", "z7", "z6", "tiles_z9", "tiles_z8", "tiles_z7", "tiles_z6"}
+    df = spark.createDataFrame(pts)
+    for res in (9, 8, 7, 6):
+        got = (
+            spark.read.parquet(f"{out}/z{res}")
+            .toPandas().sort_values(["tile", "px_x", "px_y"]).reset_index(drop=True)
+        )
+        want = (
+            raster.rasterize_counts(df, res, 3)
+            .toPandas().sort_values(["tile", "px_x", "px_y"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got.n.sum() == 5000
+    meta = _json.load(open(f"{out}/metrics.json"))
+    assert meta["total_points"] == 5000
+    # a rendered tile decodes to the count grid (spot check one tile)
+    tiles = spark.read.parquet(f"{out}/tiles_z9").toPandas()
+    assert len(tiles) == by["z9"]["rows"] or len(tiles) > 0
+    img = images.decode(bytes(tiles.iloc[0]["image"]), "png")
+    assert img.shape == (8, 8, 3)
+
+    # resume: kill levels z7-and-coarser, rerun — z9/z8 must be
+    # skipped (resumed=True) and the rebuilt levels identical
+    import shutil as _shutil
+
+    for name in ("z7", "z6"):
+        _shutil.rmtree(f"{out}/{name}")
+    m2 = tile_pyramid_job.run(
+        spark, src, out, tile_res=9, px_bits=3, min_res=6, render=False, resume=True
+    )
+    by2 = {m["level"]: m for m in m2}
+    assert by2["z9"]["resumed"] and by2["z8"]["resumed"]
+    assert not by2["z7"]["resumed"] and not by2["z6"]["resumed"]
+    got6 = (
+        spark.read.parquet(f"{out}/z6")
+        .toPandas().sort_values(["tile", "px_x", "px_y"]).reset_index(drop=True)
+    )
+    want6 = (
+        raster.rasterize_counts(df, 6, 3)
+        .toPandas().sort_values(["tile", "px_x", "px_y"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got6, want6, check_dtype=False)
+
+
+def _repo_root():
+    import pathlib
+
+    return pathlib.Path(__file__).resolve().parents[1]
+
+
+# ---------------------------------------------------------------------------
 # streaming rasterization
 # ---------------------------------------------------------------------------
 

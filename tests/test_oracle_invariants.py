@@ -101,3 +101,42 @@ def test_a3_dissolve_tangency_band():
         f"{int(in_band.sum())} supplier pair(s) inside the tangency band, "
         f"e.g. d={pair_d[in_band][:3]} m"
     )
+
+
+def test_diamond_overlay_lattice_margin():
+    """The j11/j11b/j12 diamond fixtures (r5): derived centers sit on
+    an exact-decimal 1e-8 grid (LON0/LAT0 cancel in every Δ), so plain
+    1e-3-multiple half-diagonal sums produce EXACT corner tangencies
+    |Δv| = h1+h2 in the lattice — the sf0.1 sweep caught two, with
+    double rounding splitting the tie differently between the Arrow
+    kernels and the closed-form oracle. The +1.3e-9/+2.4e-9 h offsets
+    push every decision boundary off the grid; this pins the minima
+    over ALL sf0.1 pairs (15M for j11, 150M for j12 — smaller SFs are
+    key prefixes) at >= 2e-9, five orders above double rounding."""
+    ck = np.arange(1, 15001, dtype=np.int64)
+    sk = np.arange(1, 1001, dtype=np.int64)
+    ok = np.arange(1, 150001, dtype=np.int64)
+    acx, acy = _lon(ck * 17 + 3), _lat(ck * 29 + 11)
+    bcx, bcy = _lon(sk * 13 + 7), _lat(sk * 11 + 5)
+    au, av = acx + acy, acx - acy
+    bu, bv = bcx + bcy, bcx - bcy
+    ha = ((ck % 9) + 1).astype(np.float64) * 0.003 + 1.3e-9
+    hb = ((sk % 7) + 2).astype(np.float64) * 0.004 + 2.4e-9
+    s = ha[:, None] + hb[None, :]
+    du = np.abs(np.abs(au[:, None] - bu[None, :]) - s).min()
+    dv = np.abs(np.abs(av[:, None] - bv[None, :]) - s).min()
+    assert min(du, dv) > 2e-9, f"j11 boundary margin collapsed: {min(du, dv)}"
+
+    sx0 = _lon(ok * 19 + 3)
+    sy = _lat(ok * 7 + 1)
+    slen = ((ok % 13) + 2).astype(np.float64) * 0.003
+    m = np.inf
+    for i in range(0, len(ok), 20000):
+        x0, y = sx0[i:i + 20000, None], sy[i:i + 20000, None]
+        x1 = x0 + slen[i:i + 20000, None]
+        lo = np.maximum(np.maximum(x0, (bu[None, :] - hb[None, :]) - y),
+                        (bv[None, :] - hb[None, :]) + y)
+        hi = np.minimum(np.minimum(x1, (bu[None, :] + hb[None, :]) - y),
+                        (bv[None, :] + hb[None, :]) + y)
+        m = min(m, np.abs(hi - lo).min())
+    assert m > 2e-9, f"j12 boundary margin collapsed: {m}"
