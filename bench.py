@@ -491,6 +491,55 @@ def main():
 
         run("j14_snap_lattice_4m", j14_snap, best_of=reps)
 
+        # r5: rasterization family rows — pixel-center lattice with a
+        # replication factor (the raster_scale_bench fixture at bench
+        # size: 2^20 pixels × 16 = 16.8M points), so EVERY run asserts
+        # the exact closed form (every pixel counts exactly REPL; the
+        # pyramid parent exactly 4·REPL) — correctness gates as much
+        # as timings, like the j10/j14 lattice rows.
+        from gtfs_to_geojson_spark.operators import raster as RA
+
+        r_grid, r_repl, r_tres, r_pb = 1 << 10, 16, 20, 4
+        r_npx = r_grid * r_grid
+        r_fine = r_tres + r_pb
+        r_w, r_h = 360.0 / (1 << r_fine), 180.0 / (1 << r_fine)
+
+        def raster_pts():
+            pix = (F.col("id") / r_repl).cast("long")
+            px, py = pix % r_grid, (pix / r_grid).cast("long")
+            return spark.range(r_npx * r_repl).select(
+                ((px + F.lit(1 << 23)).cast("double") + 0.5) * r_w - 180.0,
+                ((py + F.lit(1 << 23)).cast("double") + 0.5) * r_h - 90.0,
+            ).toDF("lon", "lat")
+
+        def r1_raster():
+            counts = RA.rasterize_counts(raster_pts(), r_tres, r_pb)
+            agg = counts.agg(
+                F.count(F.lit(1)).alias("px"), F.min("n").alias("mn"),
+                F.max("n").alias("mx"), F.sum("n").alias("tot"),
+            ).collect()[0]
+            assert (agg["px"], agg["mn"], agg["mx"], agg["tot"]) == (
+                r_npx, r_repl, r_repl, r_npx * r_repl
+            ), f"raster closed form: {agg}"
+            return agg["px"]
+
+        run("r1_rasterize_16m", r1_raster, best_of=reps)
+
+        def r2_pyramid():
+            up = RA.pyramid_counts(
+                RA.rasterize_counts(raster_pts(), r_tres, r_pb), px_bits=r_pb
+            )
+            agg = up.agg(
+                F.count(F.lit(1)).alias("px"), F.min("n").alias("mn"),
+                F.max("n").alias("mx"), F.sum("n").alias("tot"),
+            ).collect()[0]
+            assert (agg["px"], agg["mn"], agg["mx"], agg["tot"]) == (
+                r_npx // 4, 4 * r_repl, 4 * r_repl, r_npx * r_repl
+            ), f"pyramid closed form: {agg}"
+            return agg["px"]
+
+        run("r2_pyramid_16m", r2_pyramid, best_of=reps)
+
         run("j1_multiway_join", lambda: OQ.j1_multiway_join(spark, sf_dir).count(), best_of=reps)
         run(
             "a7_ordered_collect", lambda: OQ.a7_ordered_collect(spark, sf_dir).count(), best_of=reps
